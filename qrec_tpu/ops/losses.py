@@ -1,0 +1,65 @@
+"""Loss building blocks shared across the model zoo.
+
+The reference hand-writes these per model (e.g. util/loss.py:3-6 bpr_loss,
+SGL.py:192-217 InfoNCE); here they are pure jnp functions reused by every
+trainer. All losses take an optional per-example ``weight`` so padded batch
+tails contribute zero gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def bpr_loss(
+    pos_scores: jnp.ndarray,
+    neg_scores: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``-Σ log σ(s+ − s−)`` with the reference's 1e-7 stabilizer
+    (util/loss.py:3-6)."""
+    loss = -jnp.log(10e-8 + jax.nn.sigmoid(pos_scores - neg_scores))
+    if weight is not None:
+        loss = loss * weight
+    return jnp.sum(loss)
+
+
+def l2_reg(*tensors: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squared L2 norms (QRec uses plain ``||x||²`` reg terms)."""
+    return sum(jnp.sum(t**2) for t in tensors)
+
+
+def pointwise_ce(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sigmoid cross-entropy for pointwise samplers (NeuMF-style)."""
+    loss = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    if weight is not None:
+        loss = loss * weight
+    return jnp.sum(loss)
+
+
+def infonce(
+    view1: jnp.ndarray,  # (B, d)
+    view2: jnp.ndarray,  # (B, d)
+    temperature: float,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """InfoNCE over aligned views: positives on the diagonal of the B×B
+    similarity matrix, all other rows of view2 as negatives (SGL.py:192-217,
+    SimGCL.py:60-90 semantics)."""
+    if normalize:
+        view1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
+        view2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
+    logits = jnp.dot(view1, view2.T, preferred_element_type=jnp.float32)
+    logits = logits / temperature
+    pos = jnp.diagonal(logits)
+    lse = jax.nn.logsumexp(logits, axis=1)
+    return jnp.sum(lse - pos)

@@ -1,0 +1,178 @@
+"""Tiled full-catalog top-k ranking evaluation.
+
+Replaces the reference's per-user Python loop — dense dot per user plus a
+numba heap top-k (base/recommender.py:143-160, util/qmath.py:134-146) — with
+batched device scoring:
+
+* users are processed in padded batches;
+* a ``score_fn`` produces the (B, I) score block (for embedding models this
+  is one MXU matmul tile);
+* train-rated items are masked to ``mask_value`` (the reference *zeroes*
+  rated candidates rather than -inf — base/recommender.py:147-149 — so we do
+  exactly the same by default);
+* users unseen in training score ``global_mean`` everywhere
+  (base/iterativeRecommender.py:75-80);
+* ``lax.top_k`` per batch.
+
+The per-batch jitted step keeps peak memory at ``batch × num_items`` instead
+of materializing the full U×V score matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("k", "num_items", "score_fn"))
+def _topk_batch(
+    score_fn: Callable,
+    params,
+    uids: jnp.ndarray,  # (B,) int32, -1 = unseen user
+    rated_pad: jnp.ndarray,  # (B, D) int32 rated item ids, num_items = pad
+    global_mean: jnp.ndarray,  # scalar
+    k: int,
+    num_items: int,
+    mask_value: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    scores = score_fn(params, jnp.maximum(uids, 0))  # (B, I)
+    # unseen users score the global mean everywhere
+    scores = jnp.where(
+        (uids < 0)[:, None],
+        jnp.full_like(scores, global_mean),
+        scores,
+    )
+    # zero out train-rated items (scatter; padded entries == num_items are
+    # dropped by 'drop' mode)
+    b = scores.shape[0]
+    rows = jnp.repeat(jnp.arange(b)[:, None], rated_pad.shape[1], axis=1)
+    scores = scores.at[rows, rated_pad].set(mask_value, mode="drop")
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_ids.astype(jnp.int32), top_scores
+
+
+@partial(jax.jit, static_argnames=("k", "num_items", "score_fn", "mask_value"))
+def _topk_all(
+    score_fn: Callable,
+    params,
+    uids2d: jnp.ndarray,  # (nb, B)
+    rated3d: jnp.ndarray,  # (nb, B, D)
+    global_mean: jnp.ndarray,
+    k: int,
+    num_items: int,
+    mask_value: float = 0.0,
+):
+    def one_batch(args):
+        uids, rated = args
+        return _topk_batch(
+            score_fn, params, uids, rated, global_mean, k, num_items, mask_value
+        )
+
+    return jax.lax.map(one_batch, (uids2d, rated3d))
+
+
+class CatalogRanker:
+    """Batched full-catalog top-k scorer for a fixed test-user set."""
+
+    def __init__(
+        self,
+        data,  # Interactions
+        k: int,
+        batch_size: int = 1024,
+        mask_value: float = 0.0,
+    ):
+        self.data = data
+        self.k = int(k)
+        self.mask_value = float(mask_value)
+        ev = data.test_eval_arrays()
+        self.names = ev["names"]
+        self.uids = ev["uids"]
+        self.test_ids = ev["test_ids"]
+        self.test_counts = ev["test_counts"]
+        b = len(self.names)
+        self.batch_size = min(batch_size, max(b, 1))
+        # padded rated-item table for test users (host build, once)
+        degs = [
+            (data.u_indptr[u + 1] - data.u_indptr[u]) if u >= 0 else 0
+            for u in self.uids
+        ]
+        d_max = max(1, max(degs) if degs else 1)
+        rated = np.full((b, d_max), data.num_items, dtype=np.int32)
+        for bi, u in enumerate(self.uids):
+            if u >= 0:
+                row = data.user_row_ids(int(u))
+                rated[bi, : len(row)] = row
+        self.rated_pad = rated
+        self.global_mean = jnp.asarray(data.global_mean, dtype=jnp.float32)
+
+    def topk(self, score_fn: Callable, params) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (ids, scores) of shape (num_test_users, k)."""
+        b = len(self.names)
+        num_items = self.data.num_items
+        ids_out = np.empty((b, self.k), dtype=np.int32)
+        scores_out = np.empty((b, self.k), dtype=np.float32)
+        bs = self.batch_size
+        for start in range(0, b, bs):
+            end = min(start + bs, b)
+            pad = bs - (end - start)
+            uids = np.pad(self.uids[start:end], (0, pad), constant_values=-1)
+            rated = np.pad(
+                self.rated_pad[start:end],
+                ((0, pad), (0, 0)),
+                constant_values=num_items,
+            )
+            top_ids, top_scores = _topk_batch(
+                score_fn,
+                params,
+                jnp.asarray(uids),
+                jnp.asarray(rated),
+                self.global_mean,
+                self.k,
+                num_items,
+                self.mask_value,
+            )
+            ids_out[start:end] = np.asarray(top_ids)[: end - start]
+            scores_out[start:end] = np.asarray(top_scores)[: end - start]
+        return ids_out, scores_out
+
+    def topk_device(self, score_fn: Callable, params):
+        """Single jitted pass over all test users, batched with ``lax.map``
+        so peak memory stays at ``batch × num_items``; returns device arrays —
+        used for in-training quick evaluation without host round-trips."""
+        b = len(self.names)
+        bs = self.batch_size
+        padded = ((b + bs - 1) // bs) * bs
+        num_items = self.data.num_items
+        if not hasattr(self, "_dev_uids"):
+            self._dev_uids = jnp.asarray(
+                np.pad(self.uids, (0, padded - b), constant_values=-1)
+            ).reshape(-1, bs)
+            self._dev_rated = jnp.asarray(
+                np.pad(
+                    self.rated_pad,
+                    ((0, padded - b), (0, 0)),
+                    constant_values=num_items,
+                )
+            ).reshape(-1, bs, self.rated_pad.shape[1])
+
+        ids, scores = _topk_all(
+            score_fn,
+            params,
+            self._dev_uids,
+            self._dev_rated,
+            self.global_mean,
+            self.k,
+            num_items,
+            self.mask_value,
+        )
+        return ids.reshape(padded, self.k)[:b], scores.reshape(padded, self.k)[:b]
+
+
+def embedding_score_fn(params, uids):
+    """Score block for plain embedding models: ``U[uids] @ V^T`` on the MXU."""
+    u, v = params["user_emb"], params["item_emb"]
+    return jnp.dot(u[uids], v.T, preferred_element_type=jnp.float32)

@@ -1,0 +1,86 @@
+"""Graph construction + SpMM propagation tests (reference:
+base/graphRecommender.py:10-29, LightGCN.py:17-33)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from qrec_tpu.data.graph import (
+    COO,
+    joint_normalized_adjacency,
+    normalized_interaction,
+)
+from qrec_tpu.ops.spmm import (
+    DeviceCOO,
+    drop_edges,
+    lightgcn_propagate,
+    node_drop_vals,
+    spmm,
+)
+
+
+def test_joint_adjacency_normalization(tiny_data):
+    coo = joint_normalized_adjacency(tiny_data)
+    n = tiny_data.num_users + tiny_data.num_items
+    assert coo.shape == (n, n)
+    a = coo.to_scipy().toarray()
+    # symmetric
+    assert np.allclose(a, a.T, atol=1e-6)
+    # check one entry: value = 1/sqrt(deg_u * deg_i)
+    u, i = int(tiny_data.train_u[0]), int(tiny_data.train_i[0])
+    deg_u = tiny_data.u_indptr[u + 1] - tiny_data.u_indptr[u]
+    deg_i = tiny_data.i_indptr[i + 1] - tiny_data.i_indptr[i]
+    assert a[u, tiny_data.num_users + i] == pytest.approx(
+        1 / np.sqrt(deg_u * deg_i), abs=1e-6
+    )
+
+
+def test_coo_row_sorted(tiny_data):
+    coo = joint_normalized_adjacency(tiny_data)
+    assert (np.diff(coo.rows) >= 0).all()
+
+
+def test_spmm_matches_scipy(tiny_data):
+    coo = normalized_interaction(tiny_data, "sym")
+    dense = coo.to_scipy().toarray()
+    x = np.random.RandomState(0).randn(tiny_data.num_items, 4).astype(np.float32)
+    dev = DeviceCOO.from_host(coo)
+    got = np.asarray(spmm(dev, jnp.asarray(x)))
+    assert np.allclose(got, dense @ x, atol=1e-5)
+
+
+def test_lightgcn_propagate_matches_dense(tiny_data):
+    coo = joint_normalized_adjacency(tiny_data)
+    a = coo.to_scipy().toarray()
+    n = a.shape[0]
+    e = np.random.RandomState(1).randn(n, 8).astype(np.float32)
+    expected = (e + a @ e + a @ (a @ e)) / 3
+    dev = DeviceCOO.from_host(coo)
+    got = np.asarray(lightgcn_propagate(dev, jnp.asarray(e), 2))
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_drop_edges_masks_values(tiny_data):
+    coo = joint_normalized_adjacency(tiny_data)
+    dev = DeviceCOO.from_host(coo)
+    vals = drop_edges(jax.random.PRNGKey(0), dev, 0.5)
+    v = np.asarray(vals)
+    orig = np.asarray(dev.vals)
+    assert ((v == 0) | (v == orig)).all()
+    assert 0 < (v == 0).sum() < len(v)
+
+
+def test_node_drop_consistency(tiny_data):
+    coo = joint_normalized_adjacency(tiny_data)
+    dev = DeviceCOO.from_host(coo)
+    vals = np.asarray(node_drop_vals(jax.random.PRNGKey(4), dev, 0.4))
+    rows, cols = np.asarray(dev.rows), np.asarray(dev.cols)
+    # a node's edges must be dropped consistently: if edge (a,b) survives,
+    # neither a nor b was dropped, so the reverse edge (b,a) also survives
+    alive = {}
+    for r, c, v in zip(rows, cols, vals):
+        alive[(r, c)] = v != 0
+    for (r, c), ok in alive.items():
+        assert alive[(c, r)] == ok
