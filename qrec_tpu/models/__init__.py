@@ -1,0 +1,44 @@
+"""Model registry.
+
+Replaces the reference's ``exec``-based dynamic import (QRec.py:51-56) with an
+explicit name→class map. Models register lazily so importing the package stays
+cheap; ``get_model`` resolves a name to its class.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Dict, Tuple
+
+from ..errors import ModelNotFoundError
+
+# name -> (module, attribute)
+_REGISTRY: Dict[str, Tuple[str, str]] = {
+    # baselines
+    "UserMean": ("qrec_tpu.models.baselines", "UserMean"),
+    "ItemMean": ("qrec_tpu.models.baselines", "ItemMean"),
+    "MostPopular": ("qrec_tpu.models.baselines", "MostPopular"),
+    "Rand": ("qrec_tpu.models.baselines", "Rand"),
+    # shallow MF
+    "BasicMF": ("qrec_tpu.models.mf", "BasicMF"),
+    "PMF": ("qrec_tpu.models.mf", "PMF"),
+    "SVD": ("qrec_tpu.models.mf", "SVD"),
+    "BPR": ("qrec_tpu.models.mf", "BPR"),
+}
+
+
+def register(name: str, module: str, attr: str) -> None:
+    _REGISTRY[name] = (module, attr)
+
+
+def get_model(name: str):
+    if name not in _REGISTRY:
+        raise ModelNotFoundError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
+        )
+    module, attr = _REGISTRY[name]
+    return getattr(importlib.import_module(module), attr)
+
+
+def available_models():
+    return sorted(_REGISTRY)

@@ -1,0 +1,386 @@
+"""Model base hierarchy — the functional analogue of the reference's
+template-method classes (base/recommender.py, base/iterativeRecommender.py,
+base/deepRecommender.py, base/graphRecommender.py, base/socialRecommender.py).
+
+A model implements:
+
+* ``fit()`` — trains and leaves final factors on device (``self.U/self.V``
+  for embedding models, or a custom scorer);
+* ``score_fn_params()`` — (score_fn, params) for the tiled full-catalog
+  ranker (:class:`qrec_tpu.ops.topk.CatalogRanker`);
+* ``predict_ratings(users, items)`` — vectorized rating prediction with the
+  reference's mean fallbacks (iterativeRecommender.py:65-73).
+
+Training runs through one shared jitted loop (runtime/trainer.py) — models
+supply a loss function, an optimizer, and an epoch sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConf, OptionConf
+from ..data.dataset import Interactions
+from ..data.social import SocialGraph
+from ..ops import sampling
+from ..ops.topk import CatalogRanker, embedding_score_fn
+from ..runtime import trainer as T
+
+DEFAULT_SEED = 2026
+
+
+class Recommender:
+    """Root template (reference base/recommender.py:14-94)."""
+
+    requires_social = False
+
+    def __init__(
+        self,
+        conf: ModelConf,
+        data: Interactions,
+        social: Optional[SocialGraph] = None,
+        fold: str = "[1]",
+    ):
+        self.config = conf
+        self.data = data
+        self.social = social
+        self.fold = fold
+        self.model_name = conf["model.name"]
+        self.eval_settings = conf.options("evaluation.setup")
+        self.ranking = conf.options("item.ranking")
+        self.num_users, self.num_items, self.train_size = data.trainingSize()
+        self.seed = conf.get_int("seed", DEFAULT_SEED)
+        self.U: Optional[jnp.ndarray] = None
+        self.V: Optional[jnp.ndarray] = None
+        self.read_configuration()
+
+    # -- config hooks -----------------------------------------------------
+    def read_configuration(self) -> None:
+        pass
+
+    def model_args(self) -> Optional[OptionConf]:
+        return self.config.model_options()
+
+    def print_config(self) -> None:
+        """Model banner (base/recommender.py:44-61)."""
+        print("Model:", self.model_name)
+        print(
+            "Training set size: (user count: %d, item count %d, record count: %d)"
+            % self.data.trainingSize()
+        )
+        print(
+            "Test set size: (user count: %d, item count %d, record count: %d)"
+            % self.data.testSize()
+        )
+        print("=" * 80)
+        args = self.model_args()
+        if args is not None:
+            par = "  ".join(f"{k[1:]}:{args[k]}" for k in args.keys())
+            print("Specific parameters:", par)
+            print("=" * 80)
+
+    # -- lifecycle --------------------------------------------------------
+    def fit(self) -> None:
+        pass
+
+    # -- scoring ----------------------------------------------------------
+    def score_fn_params(self) -> Tuple[Callable, dict]:
+        """(score_fn, params) producing per-user full-catalog score blocks."""
+        if self.U is None or self.V is None:
+            raise RuntimeError(f"{self.model_name}: fit() before scoring")
+        return embedding_score_fn, {"user_emb": self.U, "item_emb": self.V}
+
+    def _ids(self, users, items):
+        uids = np.array([self.data.user.get(u, -1) for u in users], dtype=np.int32)
+        iids = np.array([self.data.item.get(i, -1) for i in items], dtype=np.int32)
+        return uids, iids
+
+    def _mean_fallback(self, uids: np.ndarray, iids: np.ndarray, dot: np.ndarray):
+        """Reference fallback chain (iterativeRecommender.py:65-73)."""
+        user_means = self.data.user_means[np.maximum(uids, 0)]
+        item_means = self.data.item_means[np.maximum(iids, 0)]
+        out = np.where(
+            (uids >= 0) & (iids >= 0),
+            dot,
+            np.where(
+                uids >= 0,
+                user_means,
+                np.where(iids >= 0, item_means, self.data.global_mean),
+            ),
+        )
+        return out.astype(np.float64)
+
+    def predict_ratings(self, users, items) -> np.ndarray:
+        uids, iids = self._ids(users, items)
+        if self.U is not None and self.V is not None:
+            u_emb = np.asarray(self.U)[np.maximum(uids, 0)]
+            v_emb = np.asarray(self.V)[np.maximum(iids, 0)]
+            dot = np.sum(u_emb * v_emb, axis=1)
+        else:
+            dot = np.zeros(len(uids))
+        return self._mean_fallback(uids, iids, dot)
+
+    # -- persistence hooks (reference: base/recommender.py:74-78) ---------
+    def save_model(self, path: str) -> None:
+        if self.U is not None:
+            np.savez(path, U=np.asarray(self.U), V=np.asarray(self.V))
+
+    def load_model(self, path: str) -> None:
+        z = np.load(path)
+        self.U, self.V = jnp.asarray(z["U"]), jnp.asarray(z["V"])
+
+
+class IterativeRecommender(Recommender):
+    """Adds embedding config, shared jitted training loop, bold-driver LR,
+    convergence, and best-epoch tracking (base/iterativeRecommender.py)."""
+
+    def read_configuration(self) -> None:
+        super().read_configuration()
+        self.emb_size = self.config.get_int("num.factors")
+        self.max_epoch = self.config.get_int("num.max.epoch")
+        lr_conf = self.config.options("learnRate")
+        self.lrate = lr_conf.get_float("-init")
+        self.max_lrate = lr_conf.get_float("-max")
+        reg = self.config.options("reg.lambda")
+        self.reg_u = reg.get_float("-u")
+        self.reg_i = reg.get_float("-i")
+        self.reg_b = reg.get_float("-b", 0.0)
+        self.batch_size = self.config.get_int("batch_size", 2000)
+
+    # -- init -------------------------------------------------------------
+    def init_embeddings(self, kind: str = "uniform", extra: int = 0):
+        """'uniform': P,Q ~ U(0,1)/3 (iterativeRecommender.py:36-39);
+        'normal': truncated normal σ=0.005 (deepRecommender.py:21-22)."""
+        rng = jax.random.PRNGKey(self.seed)
+        ru, ri = jax.random.split(rng)
+        shape_u = (self.num_users + extra, self.emb_size)
+        shape_i = (self.num_items + extra, self.emb_size)
+        if kind == "uniform":
+            user = jax.random.uniform(ru, shape_u) / 3
+            item = jax.random.uniform(ri, shape_i) / 3
+        elif kind == "normal":
+            user = jax.random.truncated_normal(ru, -2.0, 2.0, shape_u) * 0.005
+            item = jax.random.truncated_normal(ri, -2.0, 2.0, shape_i) * 0.005
+        else:
+            raise ValueError(kind)
+        return {"user_emb": user.astype(jnp.float32), "item_emb": item.astype(jnp.float32)}
+
+    # -- device-resident training arrays ----------------------------------
+    @property
+    def train_arrays(self):
+        if not hasattr(self, "_train_arrays"):
+            d = self.data
+            self._train_arrays = {
+                "u": jnp.asarray(d.train_u),
+                "i": jnp.asarray(d.train_i),
+                "r": jnp.asarray(d.train_r),
+                "indices": jnp.asarray(d.u_indices),
+                "indptr": jnp.asarray(d.u_indptr),
+            }
+        return self._train_arrays
+
+    def pairwise_sampler(self, num_tries: int = 8) -> Callable:
+        """rng -> (users, pos, neg, weight) batched epoch tensors."""
+        ta = self.train_arrays
+        row_iters = sampling._bisect_iters(
+            int(np.max(np.diff(self.data.u_indptr))) if self.train_size else 1
+        )
+
+        def sampler(rng):
+            return sampling.pairwise_epoch(
+                rng,
+                ta["u"],
+                ta["i"],
+                ta["indices"],
+                ta["indptr"],
+                num_items=self.num_items,
+                batch_size=self.batch_size,
+                num_tries=num_tries,
+                row_iters=row_iters,
+            )
+
+        return sampler
+
+    def pointwise_sampler(self, num_negatives: int = 4, num_tries: int = 8) -> Callable:
+        ta = self.train_arrays
+        row_iters = sampling._bisect_iters(
+            int(np.max(np.diff(self.data.u_indptr))) if self.train_size else 1
+        )
+
+        def sampler(rng):
+            return sampling.pointwise_epoch(
+                rng,
+                ta["u"],
+                ta["i"],
+                ta["indices"],
+                ta["indptr"],
+                num_items=self.num_items,
+                batch_size=self.batch_size,
+                num_negatives=num_negatives,
+                num_tries=num_tries,
+                row_iters=row_iters,
+            )
+
+        return sampler
+
+    def rating_sampler(self) -> Callable:
+        """rng -> shuffled (users, items, ratings, weight) epoch batches for
+        explicit-rating SGD models."""
+        ta = self.train_arrays
+        n = self.train_size
+        bs = self.batch_size
+        num_batches = (n + bs - 1) // bs
+        padded = num_batches * bs
+
+        @jax.jit
+        def sampler(rng):
+            perm = jax.random.permutation(rng, n)
+            pad = jnp.concatenate([perm, jnp.zeros(padded - n, dtype=perm.dtype)])
+            w = (jnp.arange(padded) < n).astype(jnp.float32)
+            shape = (num_batches, bs)
+            return (
+                ta["u"][pad].reshape(shape),
+                ta["i"][pad].reshape(shape),
+                ta["r"][pad].reshape(shape),
+                w.reshape(shape),
+            )
+
+        return sampler
+
+    # -- quick eval -------------------------------------------------------
+    def _quick_ranker(self) -> Optional[CatalogRanker]:
+        if not self.ranking.isMainOn() or len(self.data.test_set_u) == 0:
+            return None
+        if not hasattr(self, "_ranker"):
+            top = self.ranking.get_ints("-topN")
+            n = max(top)
+            if n > 100 or n < 1:
+                n = 10
+            self._top_n = n
+            self._ranker = CatalogRanker(self.data, k=n)
+        return self._ranker
+
+    # -- the shared loop --------------------------------------------------
+    def run_training(
+        self,
+        params,
+        loss_fn: Callable,
+        sampler: Callable,
+        *,
+        mode: str = "adam",
+        track_best: bool = True,
+        score_params_fn: Optional[Callable] = None,
+        max_epoch: Optional[int] = None,
+        log_every: int = 1,
+    ):
+        """Train ``params`` and return the (best) final params.
+
+        ``mode='adam'``: fixed-LR Adam for the reference's TF paths.
+        ``mode='bold'``: SGD with bold-driver LR adaptation and the
+        ``|Δloss|<1e-3`` convergence rule (the NumPy-SGD family).
+        ``score_params_fn(params)`` maps trainable params to catalog-scorer
+        params (e.g. graph propagation) for per-epoch quick evaluation.
+        """
+        max_epoch = max_epoch or self.max_epoch
+        if mode == "adam":
+            optimizer = optax.adam(self.lrate)
+        elif mode == "bold":
+            optimizer = optax.inject_hyperparams(optax.sgd)(
+                learning_rate=self.lrate
+            )
+        else:
+            raise ValueError(mode)
+        run_epoch = T.make_epoch_runner(loss_fn, optimizer)
+        opt_state = optimizer.init(params)
+
+        bold = T.BoldDriver(self.lrate, self.max_lrate) if mode == "bold" else None
+        conv = T.ConvergenceMonitor() if mode == "bold" else None
+        tracker = T.BestTracker() if track_best else None
+        ranker = self._quick_ranker() if track_best else None
+        best_params = params
+
+        rng = jax.random.PRNGKey(self.seed + 1)
+        for epoch in range(max_epoch):
+            rng, rng_samp, rng_step = jax.random.split(rng, 3)
+            batches = sampler(rng_samp)
+            params, opt_state, loss = run_epoch(params, opt_state, batches, rng_step)
+            loss_val = float(loss)
+            lr = bold.lr if bold else self.lrate
+            if (epoch + 1) % log_every == 0 or epoch == max_epoch - 1:
+                print(
+                    f"{self.model_name} {self.fold} epoch {epoch + 1}: "
+                    f"loss = {loss_val:.4f} learning_rate = {lr:.5f}"
+                )
+            if tracker is not None and ranker is not None:
+                sp = score_params_fn(params) if score_params_fn else None
+                if sp is None:
+                    sp = {"user_emb": params["user_emb"], "item_emb": params["item_emb"]}
+                metrics = T.quick_eval_metrics(
+                    ranker, embedding_score_fn, sp, self._top_n
+                )
+                if tracker.update(epoch, metrics):
+                    best_params = params  # jnp arrays are immutable snapshots
+            if conv is not None:
+                if conv.check(loss_val):
+                    break
+                new_lr = bold.update(epoch + 1, loss_val)
+                bold.last_loss = loss_val
+                opt_state = _set_lr(opt_state, new_lr)
+        if tracker is not None and tracker.best_metrics is not None:
+            print(
+                f"{self.model_name} {self.fold} best epoch {tracker.best_epoch}: "
+                + " | ".join(f"{k}:{v:.5f}" for k, v in tracker.best_metrics.items())
+            )
+            return best_params
+        return params
+
+
+def _set_lr(opt_state, lr: float):
+    """Mutate the injected learning rate of an inject_hyperparams state."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+class GraphRecommender(IterativeRecommender):
+    """Adds the normalized joint adjacency on device
+    (base/graphRecommender.py:10-39)."""
+
+    @property
+    def joint_adj(self):
+        if not hasattr(self, "_joint_adj"):
+            from ..data.graph import joint_normalized_adjacency
+            from ..ops.spmm import DeviceCOO
+
+            self._joint_adj = DeviceCOO.from_host(
+                joint_normalized_adjacency(self.data)
+            )
+        return self._joint_adj
+
+
+class SocialRecommender(IterativeRecommender):
+    """Adds the cleaned trust graph and ``-s`` regularization
+    (base/socialRecommender.py:43-46)."""
+
+    requires_social = True
+
+    def read_configuration(self) -> None:
+        super().read_configuration()
+        reg = self.config.options("reg.lambda")
+        self.reg_s = reg.get_float("-s", 0.0)
+
+    @property
+    def social_arrays(self):
+        if not hasattr(self, "_social_arrays"):
+            src, dst, w = self.social.coo()
+            self._social_arrays = {
+                "src": jnp.asarray(src),
+                "dst": jnp.asarray(dst),
+                "w": jnp.asarray(w),
+            }
+        return self._social_arrays

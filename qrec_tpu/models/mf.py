@@ -1,0 +1,182 @@
+"""Shallow matrix-factorization family: BasicMF, PMF, SVD, BPR.
+
+Reference: model/rating/BasicMF.py, model/rating/PMF.py, model/rating/SVD.py,
+model/ranking/BPR.py. The reference trains these with per-sample NumPy SGD
+(plus optional TF1 minibatch paths); here each is a jitted minibatch loss
+under the shared training loop, with the bold-driver LR schedule and
+``|Δloss|<1e-3`` convergence preserved for the SGD family.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses as L
+from .base import IterativeRecommender
+
+
+class BasicMF(IterativeRecommender):
+    """Plain MF on explicit ratings, no regularization in the gradient
+    (BasicMF.py:9-26): loss = Σ (r - p·q)²."""
+
+    reg_in_loss = False
+
+    def fit(self):
+        params = self.init_embeddings("uniform")
+        reg_u, reg_i = self.reg_u, self.reg_i
+        use_reg = self.reg_in_loss
+
+        def loss_fn(params, batch, rng):
+            u, i, r, w = batch
+            pu = params["user_emb"][u]
+            qi = params["item_emb"][i]
+            err = r - jnp.sum(pu * qi, axis=1)
+            loss = 0.5 * jnp.sum(w * err**2)
+            if use_reg:
+                loss = loss + 0.5 * (
+                    reg_u * jnp.sum(w[:, None] * pu**2)
+                    + reg_i * jnp.sum(w[:, None] * qi**2)
+                )
+            return loss
+
+        params = self.run_training(
+            params,
+            loss_fn,
+            self.rating_sampler(),
+            mode="bold",
+            track_best=False,
+        )
+        self.U = params["user_emb"]
+        self.V = params["item_emb"]
+
+
+class PMF(IterativeRecommender):
+    """L2-regularized MF (PMF.py:9-28): per-sample gradients
+    ``err*q - regU*p`` / ``err*p - regI*q``."""
+
+    def fit(self):
+        params = self.init_embeddings("uniform")
+        reg_u, reg_i = self.reg_u, self.reg_i
+
+        def loss_fn(params, batch, rng):
+            u, i, r, w = batch
+            pu = params["user_emb"][u]
+            qi = params["item_emb"][i]
+            err = r - jnp.sum(pu * qi, axis=1)
+            return 0.5 * jnp.sum(w * err**2) + 0.5 * (
+                reg_u * jnp.sum(w[:, None] * pu**2)
+                + reg_i * jnp.sum(w[:, None] * qi**2)
+            )
+
+        params = self.run_training(
+            params, loss_fn, self.rating_sampler(), mode="bold", track_best=False
+        )
+        self.U = params["user_emb"]
+        self.V = params["item_emb"]
+
+
+class SVD(IterativeRecommender):
+    """Biased MF with global mean (SVD.py:13-35,76-82):
+    r̂ = p·q + μ + b_u + b_i."""
+
+    def fit(self):
+        params = self.init_embeddings("uniform")
+        rng = np.random.RandomState(self.seed)
+        params["user_bias"] = jnp.asarray(
+            rng.random_sample(self.num_users).astype(np.float32) / 5
+        )
+        params["item_bias"] = jnp.asarray(
+            rng.random_sample(self.num_items).astype(np.float32) / 5
+        )
+        reg_u, reg_i, reg_b = self.reg_u, self.reg_i, self.reg_b
+        gm = self.data.global_mean
+
+        def loss_fn(params, batch, rng):
+            u, i, r, w = batch
+            pu = params["user_emb"][u]
+            qi = params["item_emb"][i]
+            bu = params["user_bias"][u]
+            bi = params["item_bias"][i]
+            pred = jnp.sum(pu * qi, axis=1) + gm + bu + bi
+            err = r - pred
+            return 0.5 * jnp.sum(w * err**2) + 0.5 * (
+                reg_u * jnp.sum(w[:, None] * pu**2)
+                + reg_i * jnp.sum(w[:, None] * qi**2)
+                + reg_b * (jnp.sum(w * bu**2) + jnp.sum(w * bi**2))
+            )
+
+        params = self.run_training(
+            params, loss_fn, self.rating_sampler(), mode="bold", track_best=False
+        )
+        self.U = params["user_emb"]
+        self.V = params["item_emb"]
+        self.Bu = params["user_bias"]
+        self.Bi = params["item_bias"]
+
+    def predict_ratings(self, users, items):
+        uids, iids = self._ids(users, items)
+        known = (uids >= 0) & (iids >= 0)
+        u_emb = np.asarray(self.U)[np.maximum(uids, 0)]
+        v_emb = np.asarray(self.V)[np.maximum(iids, 0)]
+        bu = np.asarray(self.Bu)[np.maximum(uids, 0)]
+        bi = np.asarray(self.Bi)[np.maximum(iids, 0)]
+        pred = np.sum(u_emb * v_emb, axis=1) + self.data.global_mean + bu + bi
+        # reference SVD falls straight to globalMean when either id is
+        # unknown (SVD.py:76-82)
+        return np.where(known, pred, self.data.global_mean).astype(np.float64)
+
+    def score_fn_params(self):
+        def score_fn(params, uids):
+            scores = (
+                jnp.dot(
+                    params["user_emb"][uids],
+                    params["item_emb"].T,
+                    preferred_element_type=jnp.float32,
+                )
+                + params["gm"]
+                + params["item_bias"][None, :]
+                + params["user_bias"][uids][:, None]
+            )
+            return scores
+
+        return score_fn, {
+            "user_emb": self.U,
+            "item_emb": self.V,
+            "user_bias": self.Bu,
+            "item_bias": self.Bi,
+            "gm": jnp.asarray(self.data.global_mean, dtype=jnp.float32),
+        }
+
+
+class BPR(IterativeRecommender):
+    """Bayesian Personalized Ranking (BPR.py:19-53): pairwise sigmoid loss
+    with per-sample L2 on the touched factors, bold-driver SGD."""
+
+    def fit(self):
+        params = self.init_embeddings("uniform")
+        reg_u, reg_i = self.reg_u, self.reg_i
+
+        def loss_fn(params, batch, rng):
+            u, i, j, w = batch
+            pu = params["user_emb"][u]
+            qi = params["item_emb"][i]
+            qj = params["item_emb"][j]
+            pos = jnp.sum(pu * qi, axis=1)
+            neg = jnp.sum(pu * qj, axis=1)
+            loss = L.bpr_loss(pos, neg, w)
+            reg = 0.5 * (
+                reg_u * jnp.sum(w[:, None] * pu**2)
+                + reg_i * jnp.sum(w[:, None] * (qi**2 + qj**2))
+            )
+            return loss + reg
+
+        params = self.run_training(
+            params,
+            loss_fn,
+            self.pairwise_sampler(),
+            mode="bold",
+            track_best=False,
+        )
+        self.U = params["user_emb"]
+        self.V = params["item_emb"]

@@ -1,0 +1,143 @@
+"""Jitted training-loop machinery shared by all iterative models.
+
+One functional training loop replaces the reference's 40+ hand-rolled
+per-model loops: a jitted ``lax.scan`` over device-resident epoch batches
+(gradient + optax update per step), with host-side epoch hooks implementing
+the reference's control policies:
+
+* bold-driver learning-rate adaptation — ×1.05 on loss decrease, ×0.5 on
+  increase, capped by maxLRate (base/iterativeRecommender.py:56-63);
+* convergence check ``|Δloss| < 1e-3`` and NaN abort
+  (base/iterativeRecommender.py:82-102);
+* per-epoch quick ranking evaluation with majority-vote best-model tracking
+  and snapshot restore (base/iterativeRecommender.py:115-185).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..errors import ConvergenceError
+from ..ops.metrics import device_ranking_metrics
+
+
+def make_epoch_runner(loss_fn: Callable, optimizer: optax.GradientTransformation):
+    """Build a jitted epoch function.
+
+    ``loss_fn(params, batch, rng) -> scalar``; ``batch`` is a pytree whose
+    leaves have leading dim ``num_batches``. Returns
+    ``run_epoch(params, opt_state, batches, rng) -> (params, opt_state, loss)``
+    where ``loss`` is the epoch total.
+    """
+
+    @jax.jit
+    def run_epoch(params, opt_state, batches, rng):
+        num_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, num_batches)
+
+        def step(carry, xs):
+            params, opt_state = carry
+            batch, step_rng = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (batches, rngs)
+        )
+        return params, opt_state, jnp.sum(losses)
+
+    return run_epoch
+
+
+class BoldDriver:
+    """Epoch-level LR schedule from the reference
+    (base/iterativeRecommender.py:56-63)."""
+
+    def __init__(self, init_lr: float, max_lr: float):
+        self.lr = init_lr
+        self.max_lr = max_lr
+        self.last_loss = 0.0
+
+    def update(self, epoch: int, loss: float) -> float:
+        if epoch > 1:
+            if abs(self.last_loss) > abs(loss):
+                self.lr *= 1.05
+            else:
+                self.lr *= 0.5
+        if self.lr > self.max_lr > 0:
+            self.lr = self.max_lr
+        return self.lr
+
+
+class BestTracker:
+    """Majority-vote best-epoch tracking (base/iterativeRecommender.py:132-169).
+
+    ``update`` returns True when the new metrics win the vote (strictly more
+    metrics improved than worsened) — the caller then snapshots params.
+    """
+
+    def __init__(self):
+        self.best_epoch: Optional[int] = None
+        self.best_metrics: Optional[Dict[str, float]] = None
+
+    def update(self, epoch: int, metrics: Dict[str, float]) -> bool:
+        if self.best_metrics is None:
+            self.best_epoch = epoch + 1
+            self.best_metrics = dict(metrics)
+            return True
+        count = 0
+        for k in self.best_metrics:
+            if self.best_metrics[k] > metrics[k]:
+                count += 1
+            else:
+                count -= 1
+        if count < 0:
+            self.best_epoch = epoch + 1
+            self.best_metrics = dict(metrics)
+            return True
+        return False
+
+
+class ConvergenceMonitor:
+    """``|Δloss| < 1e-3`` + NaN abort (base/iterativeRecommender.py:82-102)."""
+
+    def __init__(self, tol: float = 1e-3):
+        self.tol = tol
+        self.last_loss = 0.0
+
+    def check(self, loss: float) -> bool:
+        if math.isnan(loss) or math.isinf(loss):
+            raise ConvergenceError(
+                "Loss = NaN or Infinity: current settings do not fit the "
+                "recommender! Change the settings and try again!"
+            )
+        delta = self.last_loss - loss
+        converged = abs(delta) < self.tol
+        self.last_loss = loss
+        return converged
+
+
+def quick_eval_metrics(
+    ranker,
+    score_fn,
+    params,
+    top_n: int,
+) -> Dict[str, float]:
+    """On-device quick ranking eval at N=max(topN) — the per-epoch evaluation
+    the reference runs in ranking_performance (iterativeRecommender.py:115-131)
+    — without per-user host loops."""
+    ids, _ = ranker.topk_device(score_fn, params)
+    dev = device_ranking_metrics(
+        ids,
+        jnp.asarray(ranker.test_ids),
+        jnp.asarray(ranker.test_counts),
+        [top_n],
+    )[top_n]
+    return {k: float(v) for k, v in dev.items()}
