@@ -1,0 +1,156 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: LightGCN training throughput (examples/s/chip) on lastfm
+(the reference's bundled LightGCN benchmark dataset, config/LightGCN.conf:
+d=50, 2 layers, batch 2000, binarized) measured at steady state on the
+default JAX backend (TPU when available).
+
+``vs_baseline``: ratio against the same jitted epoch executed on the host
+CPU backend in-process — the stand-in for the reference's TF1-CPU execution
+class, since the reference stack (TF 1.14) is not installable here and QRec
+publishes no numbers of its own (BASELINE.md).
+
+Usage: python bench.py  [--epochs N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem(conf_overrides=None):
+    from qrec_tpu import ModelConf
+    from qrec_tpu.data.dataset import Interactions
+    from qrec_tpu.io import load_ratings
+
+    conf = ModelConf(
+        {
+            "ratings": "/root/reference/dataset/lastfm/ratings.txt",
+            "ratings.setup": "-columns 0 1 2",
+            "model.name": "LightGCN",
+            "evaluation.setup": "-ap 0.2 -b 1",
+            "item.ranking": "on -topN 10",
+            "num.factors": "50",
+            "num.max.epoch": "3",
+            "batch_size": "2000",
+            "learnRate": "-init 0.001 -max 1",
+            "reg.lambda": "-u 0.001 -i 0.001 -b 0.2 -s 0.2",
+            "LightGCN": "-n_layer 2",
+            "output.setup": "off -dir ./results/",
+            "seed": "2026",
+        }
+    )
+    if conf_overrides:
+        conf.config.update(conf_overrides)
+    import random as _random
+
+    from qrec_tpu.data.split import data_split
+
+    all_data = load_ratings(conf, conf["ratings"], binarized=True, threshold=1.0)
+    train, test = data_split(all_data, 0.2, binarized=True, rng=_random.Random(0))
+    data = Interactions(conf, train, test)
+    return conf, data
+
+
+def time_epochs(model, spec, n_epochs, device=None):
+    """Time steady-state epochs of the shared training loop on a device."""
+    import jax
+    import optax
+
+    from qrec_tpu.runtime.trainer import make_epoch_runner
+
+    ctx = jax.default_device(device) if device is not None else _nullcontext()
+    with ctx:
+        optimizer = optax.adam(model.lrate)
+        run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
+        params = jax.device_put(spec.params, device) if device else spec.params
+        opt_state = optimizer.init(params)
+        rng = jax.random.PRNGKey(0)
+        # warm-up epoch (compile)
+        rng, r1, r2 = jax.random.split(rng, 3)
+        batches = spec.sampler(r1)
+        if device:
+            batches = jax.device_put(jax.tree_util.tree_map(lambda x: x, batches), device)
+        params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            rng, r1, r2 = jax.random.split(rng, 3)
+            batches = spec.sampler(r1)
+            params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / n_epochs
+    return dt, params
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--cpu-epochs", type=int, default=2)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from qrec_tpu.models import get_model
+
+    conf, data = build_problem()
+    n_train = len(data.training_data)
+    model_cls = get_model("LightGCN")
+    model = model_cls(conf, data)
+    spec = model.build()
+
+    backend = jax.default_backend()
+    dt_dev, _ = time_epochs(model, spec, args.epochs)
+    eps_dev = n_train / dt_dev
+    if not args.json_only:
+        print(
+            f"[bench] LightGCN lastfm epoch on {backend}: {dt_dev * 1e3:.1f} ms "
+            f"({eps_dev:,.0f} examples/s)",
+            file=sys.stderr,
+        )
+
+    vs_baseline = float("nan")
+    try:
+        cpu = jax.devices("cpu")[0]
+        model_cpu = model_cls(conf, data)
+        spec_cpu = model_cpu.build()
+        dt_cpu, _ = time_epochs(model_cpu, spec_cpu, args.cpu_epochs, device=cpu)
+        eps_cpu = n_train / dt_cpu
+        vs_baseline = eps_dev / eps_cpu
+        if not args.json_only:
+            print(
+                f"[bench] CPU-backend proxy epoch: {dt_cpu * 1e3:.1f} ms "
+                f"({eps_cpu:,.0f} examples/s) → speedup {vs_baseline:.2f}x",
+                file=sys.stderr,
+            )
+    except Exception as e:  # CPU fallback unavailable — report device number
+        print(f"[bench] CPU baseline failed: {e}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "lightgcn_lastfm_train_examples_per_sec_per_chip",
+                "value": round(eps_dev, 1),
+                "unit": "examples/s",
+                "vs_baseline": None if vs_baseline != vs_baseline else round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,28 @@ class COO(NamedTuple):
         )
 
 
+def joint_bipartite_coo(data):
+    """Unnormalized joint adjacency structure with undirected-edge ids.
+
+    Returns ``(rows, cols, edge_ids, n_nodes)``: both directions of every
+    (user, item) interaction, row-sorted, where ``edge_ids[k]`` indexes the
+    originating interaction (0..E-1). A Bernoulli keep-mask over interactions
+    indexed through ``edge_ids`` drops both directions consistently — the
+    device-side replacement for SGL's per-epoch host subgraph rebuilds
+    (SGL.py:113-155), with renormalization done on device
+    (qrec_tpu.ops.spmm.renormalize_vals).
+    """
+    u = data.train_u[data.csr_sel]
+    i = data.train_i[data.csr_sel]
+    e = len(u)
+    rows = np.concatenate([u, i + data.num_users]).astype(np.int32)
+    cols = np.concatenate([i + data.num_users, u]).astype(np.int32)
+    edge_ids = np.concatenate([np.arange(e), np.arange(e)]).astype(np.int32)
+    order = np.lexsort((cols, rows))
+    n = data.num_users + data.num_items
+    return rows[order], cols[order], edge_ids[order], n
+
+
 def interaction_matrix(data, binary: bool = False) -> sp.csr_matrix:
     """|U|×|I| rating matrix as scipy CSR."""
     vals = np.ones_like(data.train_r) if binary else data.train_r

@@ -24,6 +24,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "PMF": ("qrec_tpu.models.mf", "PMF"),
     "SVD": ("qrec_tpu.models.mf", "SVD"),
     "BPR": ("qrec_tpu.models.mf", "BPR"),
+    # graph CF
+    "LightGCN": ("qrec_tpu.models.graph", "LightGCN"),
+    "NGCF": ("qrec_tpu.models.graph", "NGCF"),
+    "SGL": ("qrec_tpu.models.graph", "SGL"),
+    "SimGCL": ("qrec_tpu.models.graph", "SimGCL"),
 }
 
 

@@ -135,6 +135,31 @@ class Recommender:
         self.U, self.V = jnp.asarray(z["U"]), jnp.asarray(z["V"])
 
 
+class TrainSpec:
+    """Uniform description of a single-phase training problem.
+
+    Models that fit the standard shape implement ``build() -> TrainSpec`` and
+    inherit the generic ``fit()``; multi-stage models (GANs, adversarial or
+    warm-up schedules) override ``fit()`` directly.
+    """
+
+    def __init__(
+        self,
+        params,
+        loss_fn: Callable,
+        sampler: Callable,
+        mode: str = "adam",
+        track_best: bool = True,
+        score_params_fn: Optional[Callable] = None,
+    ):
+        self.params = params
+        self.loss_fn = loss_fn
+        self.sampler = sampler
+        self.mode = mode
+        self.track_best = track_best
+        self.score_params_fn = score_params_fn
+
+
 class IterativeRecommender(Recommender):
     """Adds embedding config, shared jitted training loop, bold-driver LR,
     convergence, and best-epoch tracking (base/iterativeRecommender.py)."""
@@ -264,6 +289,34 @@ class IterativeRecommender(Recommender):
             self._top_n = n
             self._ranker = CatalogRanker(self.data, k=n)
         return self._ranker
+
+    # -- generic lifecycle for single-phase models ------------------------
+    def build(self) -> "TrainSpec":
+        raise NotImplementedError
+
+    def finalize(self, params, spec: "TrainSpec") -> None:
+        if spec.score_params_fn is not None:
+            final = spec.score_params_fn(params)
+        else:
+            final = {
+                "user_emb": params["user_emb"],
+                "item_emb": params["item_emb"],
+            }
+        self.U = final["user_emb"]
+        self.V = final["item_emb"]
+        self.final_params = params
+
+    def fit(self) -> None:
+        spec = self.build()
+        params = self.run_training(
+            spec.params,
+            spec.loss_fn,
+            spec.sampler,
+            mode=spec.mode,
+            track_best=spec.track_best,
+            score_params_fn=spec.score_params_fn,
+        )
+        self.finalize(params, spec)
 
     # -- the shared loop --------------------------------------------------
     def run_training(

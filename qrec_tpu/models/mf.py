@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import losses as L
-from .base import IterativeRecommender
+from .base import IterativeRecommender, TrainSpec
 
 
 class BasicMF(IterativeRecommender):
@@ -22,7 +22,7 @@ class BasicMF(IterativeRecommender):
 
     reg_in_loss = False
 
-    def fit(self):
+    def build(self):
         params = self.init_embeddings("uniform")
         reg_u, reg_i = self.reg_u, self.reg_i
         use_reg = self.reg_in_loss
@@ -40,22 +40,16 @@ class BasicMF(IterativeRecommender):
                 )
             return loss
 
-        params = self.run_training(
-            params,
-            loss_fn,
-            self.rating_sampler(),
-            mode="bold",
-            track_best=False,
+        return TrainSpec(
+            params, loss_fn, self.rating_sampler(), mode="bold", track_best=False
         )
-        self.U = params["user_emb"]
-        self.V = params["item_emb"]
 
 
 class PMF(IterativeRecommender):
     """L2-regularized MF (PMF.py:9-28): per-sample gradients
     ``err*q - regU*p`` / ``err*p - regI*q``."""
 
-    def fit(self):
+    def build(self):
         params = self.init_embeddings("uniform")
         reg_u, reg_i = self.reg_u, self.reg_i
 
@@ -69,18 +63,16 @@ class PMF(IterativeRecommender):
                 + reg_i * jnp.sum(w[:, None] * qi**2)
             )
 
-        params = self.run_training(
+        return TrainSpec(
             params, loss_fn, self.rating_sampler(), mode="bold", track_best=False
         )
-        self.U = params["user_emb"]
-        self.V = params["item_emb"]
 
 
 class SVD(IterativeRecommender):
     """Biased MF with global mean (SVD.py:13-35,76-82):
     r̂ = p·q + μ + b_u + b_i."""
 
-    def fit(self):
+    def build(self):
         params = self.init_embeddings("uniform")
         rng = np.random.RandomState(self.seed)
         params["user_bias"] = jnp.asarray(
@@ -106,11 +98,12 @@ class SVD(IterativeRecommender):
                 + reg_b * (jnp.sum(w * bu**2) + jnp.sum(w * bi**2))
             )
 
-        params = self.run_training(
+        return TrainSpec(
             params, loss_fn, self.rating_sampler(), mode="bold", track_best=False
         )
-        self.U = params["user_emb"]
-        self.V = params["item_emb"]
+
+    def finalize(self, params, spec):
+        super().finalize(params, spec)
         self.Bu = params["user_bias"]
         self.Bi = params["item_bias"]
 
@@ -153,7 +146,7 @@ class BPR(IterativeRecommender):
     """Bayesian Personalized Ranking (BPR.py:19-53): pairwise sigmoid loss
     with per-sample L2 on the touched factors, bold-driver SGD."""
 
-    def fit(self):
+    def build(self):
         params = self.init_embeddings("uniform")
         reg_u, reg_i = self.reg_u, self.reg_i
 
@@ -171,12 +164,10 @@ class BPR(IterativeRecommender):
             )
             return loss + reg
 
-        params = self.run_training(
+        return TrainSpec(
             params,
             loss_fn,
             self.pairwise_sampler(),
             mode="bold",
             track_best=False,
         )
-        self.U = params["user_emb"]
-        self.V = params["item_emb"]

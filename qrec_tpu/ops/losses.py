@@ -46,6 +46,38 @@ def pointwise_ce(
     return jnp.sum(loss)
 
 
+def unique_padded(ids: jnp.ndarray, fill: int = 0):
+    """Static-shape ``tf.unique`` substitute: returns (unique_ids, mask)
+    where duplicates/pad slots carry ``fill`` and mask=0. Used by the SSL
+    models' per-batch dedup (SGL.py:196-200, SimGCL.py:61-64)."""
+    size = ids.shape[0]
+    uniq, counts = jnp.unique(
+        ids, size=size, fill_value=fill, return_counts=True
+    )
+    mask = (counts > 0).astype(jnp.float32)
+    return uniq, mask
+
+
+def masked_infonce(
+    view1: jnp.ndarray,  # (B, d)
+    view2: jnp.ndarray,  # (B, d)
+    mask: jnp.ndarray,  # (B,) 1=real row, 0=pad
+    temperature: float,
+) -> jnp.ndarray:
+    """InfoNCE over L2-normalized aligned views where pad rows neither
+    contribute positives nor appear as negatives."""
+    view1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
+    view2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
+    logits = (
+        jnp.dot(view1, view2.T, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    logits = jnp.where(mask[None, :] > 0, logits, -jnp.inf)
+    pos = jnp.diagonal(logits)
+    lse = jax.nn.logsumexp(logits, axis=1)
+    return jnp.sum(mask * (lse - pos))
+
+
 def infonce(
     view1: jnp.ndarray,  # (B, d)
     view2: jnp.ndarray,  # (B, d)

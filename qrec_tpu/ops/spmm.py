@@ -85,6 +85,54 @@ def lightgcn_propagate(
     return acc / (num_layers + 1)
 
 
+def renormalize_vals(
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    keep: jnp.ndarray,  # (nnz,) float 0/1 — symmetric keep mask
+    num_nodes: int,
+) -> jnp.ndarray:
+    """Symmetric normalization D^-1/2 A D^-1/2 of a kept subgraph, on device.
+
+    Matches the reference's renormalization of the *dropped* subgraph
+    (SGL.py:146-155) without any host round-trip: degrees are recomputed by
+    segment-sum over the keep mask.
+    """
+    deg = jax.ops.segment_sum(
+        keep, rows, num_segments=num_nodes, indices_are_sorted=True
+    )
+    d_inv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    return keep * d_inv[rows] * d_inv[cols]
+
+
+def subgraph_vals(
+    rng: jax.Array,
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    edge_ids: jnp.ndarray,
+    num_edges: int,
+    num_nodes: int,
+    num_users: int,
+    drop_rate: float,
+    aug_type: int,
+) -> jnp.ndarray:
+    """Renormalized edge values of an augmented-view subgraph.
+
+    ``aug_type`` 0 = node dropout, 1/2 = edge dropout (SGL.py:113-141);
+    for random-walk views (type 2) call once per layer with fresh keys.
+    """
+    if aug_type == 0:
+        ku = jax.random.bernoulli(rng, 1.0 - drop_rate, (num_users,))
+        ki = jax.random.bernoulli(
+            jax.random.fold_in(rng, 1), 1.0 - drop_rate, (num_nodes - num_users,)
+        )
+        keep_node = jnp.concatenate([ku, ki])
+        keep = (keep_node[rows] & keep_node[cols]).astype(jnp.float32)
+    else:
+        keep_e = jax.random.bernoulli(rng, 1.0 - drop_rate, (num_edges,))
+        keep = keep_e[edge_ids].astype(jnp.float32)
+    return renormalize_vals(rows, cols, keep, num_nodes)
+
+
 def node_drop_vals(
     rng: jax.Array, adj: DeviceCOO, drop_rate: float
 ) -> jnp.ndarray:
