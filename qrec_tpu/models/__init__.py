@@ -29,6 +29,13 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "NGCF": ("qrec_tpu.models.graph", "NGCF"),
     "SGL": ("qrec_tpu.models.graph", "SGL"),
     "SimGCL": ("qrec_tpu.models.graph", "SimGCL"),
+    # deep CF
+    "NeuMF": ("qrec_tpu.models.deep", "NeuMF"),
+    "DMF": ("qrec_tpu.models.deep", "DMF"),
+    "CDAE": ("qrec_tpu.models.deep", "CDAE"),
+    "CFGAN": ("qrec_tpu.models.deep", "CFGAN"),
+    "APR": ("qrec_tpu.models.deep", "APR"),
+    "IRGAN": ("qrec_tpu.models.gan", "IRGAN"),
 }
 
 

@@ -38,6 +38,9 @@ class Recommender:
     """Root template (reference base/recommender.py:14-94)."""
 
     requires_social = False
+    # full-catalog scoring batch; models with expensive per-pair towers
+    # (e.g. NeuMF) lower this to bound the (batch × items × hidden) block
+    eval_batch_size = 1024
 
     def __init__(
         self,
@@ -287,8 +290,17 @@ class IterativeRecommender(Recommender):
             if n > 100 or n < 1:
                 n = 10
             self._top_n = n
-            self._ranker = CatalogRanker(self.data, k=n)
+            self._ranker = CatalogRanker(
+                self.data, k=n, batch_size=self.eval_batch_size
+            )
         return self._ranker
+
+    def dense_ratings(self) -> jnp.ndarray:
+        """Device-resident dense |U|×|I| rating matrix (for row/col-input
+        models: DMF/CDAE/CFGAN). Cached."""
+        if not hasattr(self, "_dense_r"):
+            self._dense_r = jnp.asarray(self.data.dense_matrix())
+        return self._dense_r
 
     # -- generic lifecycle for single-phase models ------------------------
     def build(self) -> "TrainSpec":

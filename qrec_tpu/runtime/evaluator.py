@@ -50,7 +50,9 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
     eval_settings = conf.options("evaluation.setup")
     output = conf.options("output.setup")
 
-    ranker = CatalogRanker(data, k=n)
+    ranker = CatalogRanker(
+        data, k=n, batch_size=getattr(model, "eval_batch_size", 1024)
+    )
     score_fn, params = model.score_fn_params()
     ids, scores = ranker.topk(score_fn, params)
 
