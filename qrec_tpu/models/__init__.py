@@ -36,6 +36,17 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "CFGAN": ("qrec_tpu.models.deep", "CFGAN"),
     "APR": ("qrec_tpu.models.deep", "APR"),
     "IRGAN": ("qrec_tpu.models.gan", "IRGAN"),
+    # social MF (rating)
+    "SoRec": ("qrec_tpu.models.social_mf", "SoRec"),
+    "SoReg": ("qrec_tpu.models.social_mf", "SoReg"),
+    "SocialMF": ("qrec_tpu.models.social_mf", "SocialMF"),
+    "RSTE": ("qrec_tpu.models.social_mf", "RSTE"),
+    "LOCABAL": ("qrec_tpu.models.social_mf", "LOCABAL"),
+    "SREE": ("qrec_tpu.models.social_mf", "SREE"),
+    "SocialFD": ("qrec_tpu.models.social_mf", "SocialFD"),
+    # social ranking
+    "SBPR": ("qrec_tpu.models.social_ranking", "SBPR"),
+    "TBPR": ("qrec_tpu.models.social_ranking", "TBPR"),
 }
 
 
