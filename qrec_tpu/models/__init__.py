@@ -47,6 +47,11 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     # social ranking
     "SBPR": ("qrec_tpu.models.social_ranking", "SBPR"),
     "TBPR": ("qrec_tpu.models.social_ranking", "TBPR"),
+    # ALS family
+    "WRMF": ("qrec_tpu.models.als", "WRMF"),
+    "ExpoMF": ("qrec_tpu.models.als", "ExpoMF"),
+    "CoFactor": ("qrec_tpu.models.als", "CoFactor"),
+    "SERec": ("qrec_tpu.models.als", "SERec"),
 }
 
 
