@@ -47,6 +47,12 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     # social ranking
     "SBPR": ("qrec_tpu.models.social_ranking", "SBPR"),
     "TBPR": ("qrec_tpu.models.social_ranking", "TBPR"),
+    # classical
+    "UserKNN": ("qrec_tpu.models.classical", "UserKNN"),
+    "ItemKNN": ("qrec_tpu.models.classical", "ItemKNN"),
+    "SlopeOne": ("qrec_tpu.models.classical", "SlopeOne"),
+    "SVDPlusPlus": ("qrec_tpu.models.classical", "SVDPlusPlus"),
+    "EE": ("qrec_tpu.models.classical", "EE"),
     # ALS family
     "WRMF": ("qrec_tpu.models.als", "WRMF"),
     "ExpoMF": ("qrec_tpu.models.als", "ExpoMF"),

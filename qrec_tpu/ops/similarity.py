@@ -101,6 +101,16 @@ def pairwise_pearson(rows: jnp.ndarray, query: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def pairwise_euclidean_sp(rows: jnp.ndarray, query: jnp.ndarray) -> jnp.ndarray:
+    """Reference euclidean_sp (qmath.py:34-43): 1 / Σ_common (x1² − x2²),
+    0 on zero denominator. (Faithful to the reference's formula, signs and
+    all.)"""
+    m_r = (rows > 0).astype(jnp.float32)
+    m_q = (query > 0).astype(jnp.float32)
+    total = (query**2) @ m_r.T - m_q @ (rows**2).T
+    return jnp.where(jnp.abs(total) > 1e-12, 1.0 / total, 0.0)
+
+
 def pairwise_cosine_sp(rows: jnp.ndarray, query: jnp.ndarray) -> jnp.ndarray:
     """Common-support cosine of query rows vs all rows (Q, N)."""
     m_r = (rows > 0).astype(jnp.float32)
