@@ -47,6 +47,12 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     # social ranking
     "SBPR": ("qrec_tpu.models.social_ranking", "SBPR"),
     "TBPR": ("qrec_tpu.models.social_ranking", "TBPR"),
+    # social + hypergraph SSL
+    "MHCN": ("qrec_tpu.models.social_graph", "MHCN"),
+    "SEPT": ("qrec_tpu.models.social_graph", "SEPT"),
+    "BUIR": ("qrec_tpu.models.social_graph", "BUIR"),
+    "DiffNet": ("qrec_tpu.models.social_graph", "DiffNet"),
+    "DHCF": ("qrec_tpu.models.social_graph", "DHCF"),
     # classical
     "UserKNN": ("qrec_tpu.models.classical", "UserKNN"),
     "ItemKNN": ("qrec_tpu.models.classical", "ItemKNN"),

@@ -1,0 +1,681 @@
+"""Social/hypergraph SSL family: MHCN, SEPT, BUIR, DiffNet, DHCF.
+
+Reference: model/ranking/{MHCN,SEPT,BUIR,DiffNet,DHCF}.py. Motif/view
+adjacency *construction* stays host-side scipy (one-time sparse algebra,
+exactly the reference's formulas); everything per-step — propagation,
+gating/attention, MIM and neighbor-discrimination SSL losses, momentum
+targets, subgraph views — runs on device. Subgraph views are expressed as
+masked+renormalized edge values from the step PRNG (ops/spmm), replacing the
+reference's per-epoch host rebuilds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import scipy.sparse as sp
+
+from ..data.graph import COO, joint_bipartite_coo
+from ..ops import losses as L
+from ..ops.spmm import DeviceCOO, lightgcn_propagate, renormalize_vals, spmm
+from .base import GraphRecommender, SocialRecommender, TrainSpec
+
+
+def _sym_norm(m: sp.spmatrix) -> sp.csr_matrix:
+    rowsum = np.asarray(m.sum(axis=1)).ravel()
+    d_inv = np.power(rowsum, -0.5, where=rowsum > 0, out=np.zeros_like(rowsum))
+    d = sp.diags(d_inv)
+    return (d @ m @ d).tocsr()
+
+
+def _row_norm(m: sp.spmatrix) -> sp.csr_matrix:
+    rowsum = np.asarray(m.sum(axis=1)).ravel()
+    d_inv = np.power(rowsum, -1.0, where=rowsum > 0, out=np.zeros_like(rowsum))
+    return (sp.diags(d_inv) @ m).tocsr()
+
+
+def _dev(m: sp.spmatrix) -> DeviceCOO:
+    return DeviceCOO.from_host(COO.from_scipy(m))
+
+
+def _xavier(rng, shape):
+    return jax.nn.initializers.glorot_uniform()(rng, shape, jnp.float32)
+
+
+def _l2(*xs):
+    return sum(0.5 * jnp.sum(x**2) for x in xs)
+
+
+def _l2n(x):
+    return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+
+
+class MHCN(SocialRecommender, GraphRecommender):
+    """Multi-channel hypergraph convolution with self-gating, channel
+    attention, and hierarchical mutual-information SSL (MHCN.py)."""
+
+    def read_configuration(self):
+        super().read_configuration()
+        args = self.model_args()
+        self.n_layers = args.get_int("-n_layer")
+        self.ss_rate = args.get_float("-ss_rate")
+
+    def _motif_matrices(self):
+        """Triangle-motif adjacency algebra (MHCN.py:54-85), verbatim."""
+        src, dst, _ = self.social.coo()
+        s = sp.csr_matrix(
+            (np.ones(len(src), dtype=np.float32), (src, dst)),
+            shape=(self.num_users, self.num_users),
+        )
+        y = sp.csr_matrix(
+            (
+                np.ones_like(self.data.train_u, dtype=np.float32),
+                (self.data.train_u, self.data.train_i),
+            ),
+            shape=(self.num_users, self.num_items),
+        )
+        b = s.multiply(s.T)
+        u = s - b
+        c1 = (u @ u).multiply(u.T)
+        a1 = c1 + c1.T
+        c2 = (b @ u).multiply(u.T) + (u @ b).multiply(u.T) + (u @ u).multiply(b)
+        a2 = c2 + c2.T
+        c3 = (b @ b).multiply(u) + (b @ u).multiply(b) + (u @ b).multiply(b)
+        a3 = c3 + c3.T
+        a4 = (b @ b).multiply(b)
+        c5 = (u @ u).multiply(u) + (u @ u.T).multiply(u) + (u.T @ u).multiply(u)
+        a5 = c5 + c5.T
+        a6 = (u @ b).multiply(u) + (b @ u.T).multiply(u.T) + (u.T @ u).multiply(b)
+        a7 = (u.T @ b).multiply(u.T) + (b @ u).multiply(u) + (u @ u.T).multiply(b)
+        a8 = (y @ y.T).multiply(b)
+        a9 = (y @ y.T).multiply(u)
+        a9 = a9 + a9.T
+        a10 = y @ y.T - a8 - a9
+        h_s = _row_norm(a1 + a2 + a3 + a4 + a5 + a6 + a7)
+        h_j = _row_norm(a8 + a9)
+        h_p = a10.multiply(a10 > 1)
+        h_p = _row_norm(h_p)
+        return h_s, h_j, h_p
+
+    def _joint_r(self):
+        """|U|×|I| adjacency with r/sqrt(|I_u|)/sqrt(|U_i|) values
+        (MHCN.py:46-52)."""
+        du = np.maximum(np.diff(self.data.u_indptr), 1).astype(np.float32)
+        di = np.maximum(np.diff(self.data.i_indptr), 1).astype(np.float32)
+        vals = self.data.train_r / np.sqrt(du[self.data.train_u]) / np.sqrt(
+            di[self.data.train_i]
+        )
+        return sp.csr_matrix(
+            (vals, (self.data.train_u, self.data.train_i)),
+            shape=(self.num_users, self.num_items),
+        )
+
+    def build(self):
+        h_s, h_j, h_p = map(_dev, self._motif_matrices())
+        r_mat = self._joint_r()
+        r_dev = _dev(r_mat)
+        rt_dev = _dev(r_mat.T)
+        d = self.emb_size
+        rng = jax.random.PRNGKey(self.seed)
+        ks = jax.random.split(rng, 20)
+        params = self.init_embeddings("normal")
+        for c in range(4):
+            params[f"gating{c}"] = _xavier(ks[2 * c], (d, d))
+            params[f"gating_bias{c}"] = _xavier(ks[2 * c + 1], (1, d))
+            params[f"sgating{c}"] = _xavier(ks[8 + c], (d, d))
+            params[f"sgating_bias{c}"] = _xavier(ks[12 + c], (1, d))
+        params["attention"] = _xavier(ks[16], (1, d))
+        params["attention_mat"] = _xavier(ks[17], (d, d))
+        n_layers = self.n_layers
+        reg_u, ss_rate = self.reg_u, self.ss_rate
+        nu = self.num_users
+
+        def gate(params, em, c, s=""):
+            return em * jax.nn.sigmoid(
+                em @ params[f"{s}gating{c}"] + params[f"{s}gating_bias{c}"]
+            )
+
+        def attention(params, *chans):
+            scores = jnp.stack(
+                [
+                    jnp.sum(params["attention"] * (c @ params["attention_mat"]), axis=1)
+                    for c in chans
+                ],
+                axis=1,
+            )  # (U, C)
+            score = jax.nn.softmax(scores, axis=1)
+            mixed = sum(score[:, i : i + 1] * chans[i] for i in range(len(chans)))
+            return mixed, score
+
+        def encode(params):
+            u1 = gate(params, params["user_emb"], 0)
+            u2 = gate(params, params["user_emb"], 1)
+            u3 = gate(params, params["user_emb"], 2)
+            simple = gate(params, params["user_emb"], 3)
+            items = params["item_emb"]
+            acc1, acc2, acc3, acc_s, acc_i = u1, u2, u3, simple, items
+            for _ in range(n_layers):
+                mixed = attention(params, u1, u2, u3)[0] + simple / 2
+                u1 = spmm(h_s, u1)
+                acc1 = acc1 + _l2n(u1)
+                u2 = spmm(h_j, u2)
+                acc2 = acc2 + _l2n(u2)
+                u3 = spmm(h_p, u3)
+                acc3 = acc3 + _l2n(u3)
+                new_items = spmm(rt_dev, mixed)
+                acc_i = acc_i + _l2n(new_items)
+                simple = spmm(r_dev, items)
+                acc_s = acc_s + _l2n(simple)
+                items = new_items
+            final_u, _ = attention(params, acc1, acc2, acc3)
+            final_u = final_u + acc_s / 2
+            return final_u, acc_i
+
+        def ss_loss_channel(rng, em, adj):
+            edge = spmm(adj, em)
+            r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+            def row_shuffle(key, x):
+                return x[jax.random.permutation(key, x.shape[0])]
+
+            def row_col_shuffle(key, x):
+                ka, kb = jax.random.split(key)
+                x = x[:, jax.random.permutation(ka, x.shape[1])]
+                return x[jax.random.permutation(kb, x.shape[0])]
+
+            def score(a, b):
+                return jnp.sum(a * b, axis=1)
+
+            pos = score(em, edge)
+            neg1 = score(row_shuffle(r1, em), edge)
+            neg2 = score(row_col_shuffle(r2, edge), em)
+            local = jnp.sum(
+                -jnp.log(jax.nn.sigmoid(pos - neg1) + 1e-12)
+                - jnp.log(jax.nn.sigmoid(neg1 - neg2) + 1e-12)
+            )
+            graph = jnp.mean(edge, axis=0)
+            pos_g = edge @ graph
+            neg_g = row_col_shuffle(r3, edge) @ graph
+            global_ = jnp.sum(-jnp.log(jax.nn.sigmoid(pos_g - neg_g) + 1e-12))
+            return local + global_
+
+        weight_keys = (
+            [f"gating{c}" for c in range(4)]
+            + [f"gating_bias{c}" for c in range(4)]
+            + [f"sgating{c}" for c in range(4)]
+            + [f"sgating_bias{c}" for c in range(4)]
+            + ["attention", "attention_mat"]
+        )
+
+        def loss_fn(params, batch, rng):
+            u, i, j, w = batch
+            users, items = encode(params)
+            pu, qi, qj = users[u], items[i], items[j]
+            pos = jnp.sum(pu * qi, axis=1)
+            neg = jnp.sum(pu * qj, axis=1)
+            rec = L.bpr_loss(pos, neg, w)
+            reg = 0.001 * sum(_l2(params[k]) for k in weight_keys)
+            reg = reg + reg_u * (_l2(params["user_emb"]) + _l2(params["item_emb"]))
+            rs = jax.random.split(rng, 3)
+            ss = (
+                ss_loss_channel(rs[0], gate(params, users, 0, "s"), h_s)
+                + ss_loss_channel(rs[1], gate(params, users, 1, "s"), h_j)
+                + ss_loss_channel(rs[2], gate(params, users, 2, "s"), h_p)
+            )
+            return rec + reg + ss_rate * ss
+
+        def score_params(params):
+            users, items = encode(params)
+            return {"user_emb": users, "item_emb": items}
+
+        return TrainSpec(
+            params,
+            loss_fn,
+            self.pairwise_sampler(),
+            mode="adam",
+            track_best=True,
+            score_params_fn=jax.jit(score_params),
+        )
+
+
+class SEPT(SocialRecommender, GraphRecommender):
+    """Tri-view social SSL with pseudo-label neighbor discrimination
+    (SEPT.py). Warm-up on the rec task for maxEpoch/3, then joint training."""
+
+    def read_configuration(self):
+        super().read_configuration()
+        args = self.model_args()
+        self.n_layers = args.get_int("-n_layer")
+        self.ss_rate = args.get_float("-ss_rate")
+        self.drop_rate = args.get_float("-drop_rate")
+        self.instance_cnt = args.get_int("-ins_cnt")
+
+    def _views(self):
+        src, dst, _ = self.social.coo()
+        s = sp.csr_matrix(
+            (np.ones(len(src), dtype=np.float32), (src, dst)),
+            shape=(self.num_users, self.num_users),
+        )
+        bs = s.multiply(s)  # reference's literal bidirectional matrix
+        y = sp.csr_matrix(
+            (
+                np.ones_like(self.data.train_u, dtype=np.float32),
+                (self.data.train_u, self.data.train_i),
+            ),
+            shape=(self.num_users, self.num_items),
+        )
+        y.data[:] = 1.0
+        social = (bs @ bs).multiply(bs) + sp.eye(self.num_users, dtype=np.float32)
+        sharing = (y @ y.T).multiply(bs) + sp.eye(self.num_users, dtype=np.float32)
+        return _sym_norm(social), _sym_norm(sharing)
+
+    def _combined_graph(self):
+        """Joint UI graph + directed social edges with drop-group ids for the
+        on-device renormalized subgraph view (SEPT.py:80-113)."""
+        rows, cols, edge_ids, n = joint_bipartite_coo(self.data)
+        src, dst, _ = self.social.coo()
+        n_int = int(edge_ids.max()) + 1 if len(edge_ids) else 0
+        rows_c = np.concatenate([rows, src])
+        cols_c = np.concatenate([cols, dst])
+        ids_c = np.concatenate(
+            [edge_ids, n_int + np.arange(len(src), dtype=np.int32)]
+        )
+        order = np.lexsort((cols_c, rows_c))
+        return (
+            jnp.asarray(rows_c[order].astype(np.int32)),
+            jnp.asarray(cols_c[order].astype(np.int32)),
+            jnp.asarray(ids_c[order].astype(np.int32)),
+            n_int + len(src),
+            n,
+        )
+
+    def fit(self):
+        social_dev, sharing_dev = map(_dev, self._views())
+        adj = self.joint_adj
+        c_rows, c_cols, c_ids, n_groups, n_nodes = self._combined_graph()
+        rng0 = jax.random.PRNGKey(self.seed)
+        r1, r2 = jax.random.split(rng0)
+        d = self.emb_size
+        params = {
+            "user_emb": (
+                jax.random.truncated_normal(r1, -2, 2, (self.num_users, d)) * 0.005 / 2
+            ).astype(jnp.float32),
+            "item_emb": (
+                jax.random.truncated_normal(r2, -2, 2, (self.num_items, d)) * 0.005 / 2
+            ).astype(jnp.float32),
+        }
+        nu = self.num_users
+        n_layers = self.n_layers
+        reg_u, ss_rate = self.reg_u, self.ss_rate
+        drop_rate, ins_cnt = self.drop_rate, self.instance_cnt
+
+        def encode_views(params):
+            friend = params["user_emb"]
+            share = params["user_emb"]
+            acc_f, acc_s = friend, share
+            ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
+            acc_e = ego
+            for _ in range(n_layers):
+                friend = spmm(social_dev, friend)
+                acc_f = acc_f + _l2n(friend)
+                share = spmm(sharing_dev, share)
+                acc_s = acc_s + _l2n(share)
+                ego = spmm(adj, ego)
+                acc_e = acc_e + _l2n(ego)
+            return acc_f, acc_s, acc_e[:nu], acc_e[nu:]
+
+        def encode_aug(params, rng):
+            keep = jax.random.bernoulli(rng, 1.0 - drop_rate, (n_groups,))
+            vals = renormalize_vals(
+                c_rows, c_cols, keep[c_ids].astype(jnp.float32), n_nodes
+            )
+            aug_adj = DeviceCOO(c_rows, c_cols, vals, n_nodes, n_nodes)
+            e = jnp.concatenate([params["user_emb"], params["item_emb"]])
+            acc = e
+            for _ in range(n_layers):
+                e = spmm(aug_adj, e)
+                acc = acc + _l2n(e)
+            return acc[:nu]
+
+        def rec_loss_fn(params, batch, rng):
+            u, i, j, w = batch
+            _, _, users, items = encode_views(params)
+            pu, qi, qj = users[u], items[i], items[j]
+            rec = L.bpr_loss(
+                jnp.sum(pu * qi, axis=1), jnp.sum(pu * qj, axis=1), w
+            )
+            return rec + reg_u * (
+                _l2(params["user_emb"]) + _l2(params["item_emb"])
+            )
+
+        def joint_loss_fn(params, batch, rng):
+            u, i, j, w = batch
+            friend, share, users, items = encode_views(params)
+            pu, qi, qj = users[u], items[i], items[j]
+            rec = L.bpr_loss(
+                jnp.sum(pu * qi, axis=1), jnp.sum(pu * qj, axis=1), w
+            )
+            rec = rec + reg_u * (
+                _l2(params["user_emb"]) + _l2(params["item_emb"])
+            )
+            aug_u = encode_aug(params, jax.random.fold_in(rng, 7))
+            uu, um = L.unique_padded(u)
+            aug_n = _l2n(aug_u[uu])
+
+            def label_prob(view):
+                emb = _l2n(view[uu])
+                return jax.nn.softmax(emb @ aug_n.T, axis=1)
+
+            p_social = label_prob(friend)
+            p_share = label_prob(share)
+            p_rec = label_prob(users)
+
+            def neighbor_dis(positive, view):
+                emb = _l2n(view[uu])
+                pos_emb = aug_n[positive]  # (B, k, d)
+                pos_scores = jnp.sum(emb[:, None, :] * pos_emb, axis=2)
+                ttl = emb @ aug_n.T
+                # pad rows join the denominator as in the reference's
+                # dense-batch formulation; their loss rows are masked out
+                pos_sum = jnp.sum(jnp.exp(pos_scores / 0.1), axis=1)
+                ttl_sum = jnp.sum(jnp.exp(ttl / 0.1), axis=1)
+                return -jnp.sum(um * jnp.log(pos_sum / ttl_sum + 1e-12))
+
+            top = lambda p1, p2: jax.lax.top_k((p1 + p2) / 2, ins_cnt)[1]
+            ssl = (
+                neighbor_dis(top(p_share, p_rec), friend)
+                + neighbor_dis(top(p_social, p_rec), share)
+                + neighbor_dis(top(p_social, p_share), users)
+            )
+            return rec + ss_rate * ssl
+
+        def score_params(params):
+            _, _, users, items = encode_views(params)
+            return {"user_emb": users, "item_emb": items}
+
+        warm = max(1, int(self.max_epoch / 3))
+        sampler = self.pairwise_sampler()
+        params = self.run_training(
+            params, rec_loss_fn, sampler, mode="adam", track_best=True,
+            score_params_fn=jax.jit(score_params), max_epoch=warm,
+        )
+        params = self.run_training(
+            params, joint_loss_fn, sampler, mode="adam", track_best=True,
+            score_params_fn=jax.jit(score_params),
+            max_epoch=max(1, self.max_epoch - warm),
+        )
+        final = jax.jit(score_params)(params)
+        self.U, self.V = final["user_emb"], final["item_emb"]
+
+
+class BUIR(GraphRecommender):
+    """BYOL-style online/target LightGCN encoders over dropout subgraphs with
+    momentum target updates and symmetric cosine-stop-gradient loss
+    (BUIR.py)."""
+
+    def read_configuration(self):
+        super().read_configuration()
+        args = self.model_args()
+        self.n_layers = args.get_int("-n_layer")
+        self.tau = args.get_float("-tau")
+        self.drop_rate = args.get_float("-drop_rate")
+
+    def fit(self):
+        rows, cols, edge_ids, n_nodes = joint_bipartite_coo(self.data)
+        rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
+        ids_d = jnp.asarray(edge_ids)
+        n_edges = int(edge_ids.max()) + 1 if len(edge_ids) else 0
+        adj = self.joint_adj
+        d = self.emb_size
+        ks = jax.random.split(jax.random.PRNGKey(self.seed), 4)
+        params = {
+            "user_emb": _xavier(ks[0], (self.num_users, d)),
+            "item_emb": _xavier(ks[1], (self.num_items, d)),
+            "W": _xavier(ks[2], (d, d)),
+            "b": _xavier(ks[3], (1, d)),
+        }
+        target = {
+            "user_emb": params["user_emb"],
+            "item_emb": params["item_emb"],
+        }
+        nu = self.num_users
+        n_layers, tau, drop_rate = self.n_layers, self.tau, self.drop_rate
+
+        def dropped_propagate(emb_u, emb_i, rng):
+            keep = jax.random.bernoulli(rng, 1.0 - drop_rate, (n_edges,))
+            vals = renormalize_vals(
+                rows_d, cols_d, keep[ids_d].astype(jnp.float32), n_nodes
+            )
+            sub = DeviceCOO(rows_d, cols_d, vals, n_nodes, n_nodes)
+            e = jnp.concatenate([emb_u, emb_i])
+            return lightgcn_propagate(sub, e, n_layers)
+
+        def linear(params, e):
+            return jnp.tanh(e @ params["W"] + params["b"])
+
+        def loss_fn(params, target, batch, rng):
+            u, i, _, w = batch
+            ro, rt = jax.random.split(rng)
+            online = dropped_propagate(
+                params["user_emb"], params["item_emb"], ro
+            )
+            tgt = dropped_propagate(
+                target["user_emb"], target["item_emb"], rt
+            )
+            tgt = jax.lax.stop_gradient(tgt)
+            q = linear(params, online)
+            qu, qi = q[:nu][u], q[nu:][i]
+            tu, ti = tgt[:nu][u], tgt[nu:][i]
+            loss = 1 - jnp.sum(_l2n(qu) * _l2n(ti), axis=1)
+            loss = loss + 1 - jnp.sum(_l2n(qi) * _l2n(tu), axis=1)
+            return jnp.sum(w * loss / 2)
+
+        optimizer = optax.adam(self.lrate)
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def run_epoch(params, target, opt_state, batches, rng):
+            nb = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            rngs = jax.random.split(rng, nb)
+
+            def step(carry, xs):
+                params, target, opt_state = carry
+                batch, r = xs
+                loss, grads = jax.value_and_grad(loss_fn)(params, target, batch, r)
+                upd, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                # momentum target update per step (BUIR.py:120-126,164)
+                target = {
+                    k: target[k] * tau + params[k] * (1 - tau) for k in target
+                }
+                return (params, target, opt_state), loss
+
+            (params, target, opt_state), losses = jax.lax.scan(
+                step, (params, target, opt_state), (batches, rngs)
+            )
+            return params, target, opt_state, jnp.sum(losses)
+
+        sampler = self.pairwise_sampler()
+        rng = jax.random.PRNGKey(self.seed + 1)
+        for epoch in range(self.max_epoch):
+            rng, rs, re = jax.random.split(rng, 3)
+            batches = sampler(rs)
+            params, target, opt_state, loss = run_epoch(
+                params, target, opt_state, batches, re
+            )
+            if (epoch + 1) % 5 == 0 or epoch == self.max_epoch - 1:
+                print(
+                    f"{self.model_name} {self.fold} epoch {epoch + 1}: "
+                    f"loss = {float(loss):.4f}"
+                )
+
+        @jax.jit
+        def final_embeddings(params):
+            e = jnp.concatenate([params["user_emb"], params["item_emb"]])
+            online = lightgcn_propagate(adj, e, n_layers)
+            q = linear(params, online)
+            return online[:nu], online[nu:], q[:nu], q[nu:]
+
+        o_u, o_i, q_u, q_i = final_embeddings(params)
+        # score = q_i·o_u + o_i·q_u (BUIR.py:175-179) — fold into a single
+        # concatenated embedding pair so the standard ranker applies
+        self.U = jnp.concatenate([o_u, q_u], axis=1)
+        self.V = jnp.concatenate([q_i, o_i], axis=1)
+
+
+class DiffNet(SocialRecommender, GraphRecommender):
+    """Social influence diffusion (DiffNet.py): S-propagated user embeddings
+    through concat+W+ReLU layers, final user = social + A·item."""
+
+    def read_configuration(self):
+        super().read_configuration()
+        self.n_layers = self.model_args().get_int("-n_layer")
+
+    def build(self):
+        src, dst, _ = self.social.coo()
+        out_deg = np.bincount(src, minlength=self.num_users).astype(np.float32)
+        s_vals = 1.0 / np.maximum(out_deg[src], 1)
+        s_mat = sp.csr_matrix(
+            (s_vals, (src, dst)), shape=(self.num_users, self.num_users)
+        )
+        s_dev = _dev(s_mat)
+        # row-normalized rating matrix 1/|I_u| (graphRecommender.py:41-51)
+        du = np.maximum(np.diff(self.data.u_indptr), 1).astype(np.float32)
+        a_mat = sp.csr_matrix(
+            (
+                1.0 / du[self.data.train_u],
+                (self.data.train_u, self.data.train_i),
+            ),
+            shape=(self.num_users, self.num_items),
+        )
+        a_dev = _dev(a_mat)
+        d = self.emb_size
+        params = self.init_embeddings("normal")
+        ks = jax.random.split(jax.random.PRNGKey(self.seed + 3), self.n_layers)
+        for k in range(self.n_layers):
+            params[f"W{k}"] = _xavier(ks[k], (2 * d, d))
+        n_layers = self.n_layers
+        reg_u = self.reg_u
+
+        def encode(params):
+            u = params["user_emb"]
+            for k in range(n_layers):
+                nu_emb = spmm(s_dev, u)
+                u = jax.nn.relu(
+                    jnp.concatenate([nu_emb, u], axis=1) @ params[f"W{k}"]
+                )
+            return u + spmm(a_dev, params["item_emb"])
+
+        def loss_fn(params, batch, rng):
+            u, i, j, w = batch
+            users = encode(params)
+            pu = users[u]
+            qi = params["item_emb"][i]
+            qj = params["item_emb"][j]
+            y = jnp.sum(pu * qi, axis=1) - jnp.sum(pu * qj, axis=1)
+            loss = -jnp.sum(w * jnp.log(jax.nn.sigmoid(y) + 1e-12))
+            reg = reg_u * (
+                _l2(pu * w[:, None]) + _l2(qi * w[:, None]) + _l2(qj * w[:, None])
+            )
+            return loss + reg
+
+        def score_params(params):
+            return {"user_emb": encode(params), "item_emb": params["item_emb"]}
+
+        return TrainSpec(
+            params,
+            loss_fn,
+            self.pairwise_sampler(),
+            mode="adam",
+            track_best=False,
+            score_params_fn=jax.jit(score_params),
+        )
+
+
+class DHCF(GraphRecommender):
+    """Dual-channel hypergraph CF with 1-hop incidence normalization,
+    residual transforms, message dropout, and layer concat (DHCF.py)."""
+
+    n_layers = 2  # fixed in the reference (DHCF.py:58)
+
+    def build(self):
+        a = sp.csr_matrix(
+            (
+                np.ones_like(self.data.train_u, dtype=np.float32),
+                (self.data.train_u, self.data.train_i),
+            ),
+            shape=(self.num_users, self.num_items),
+        )
+        a.data[:] = 1.0
+
+        def hyper_norm(h):
+            d_v = np.asarray(h.sum(axis=1)).ravel()  # node degree
+            d_e = np.asarray(h.sum(axis=0)).ravel()  # hyperedge degree
+            dv = sp.diags(
+                np.power(d_v, -0.5, where=d_v > 0, out=np.zeros_like(d_v))
+            )
+            de = sp.diags(
+                np.power(d_e, -1.0, where=d_e > 0, out=np.zeros_like(d_e))
+            )
+            # D_v^-1/2 H D_e^-1 H^T D_v^-1/2 (DHCF.py:33-50)
+            return (dv @ h @ de @ h.T @ dv).tocsr()
+
+        a_u = _dev(hyper_norm(a))
+        a_i = _dev(hyper_norm(a.T.tocsr()))
+        d = self.emb_size
+        params = self.init_embeddings("normal")
+        ks = jax.random.split(jax.random.PRNGKey(self.seed + 5), self.n_layers)
+        for k in range(self.n_layers):
+            params[f"layer{k}"] = _xavier(ks[k], (d, d))
+        n_layers = self.n_layers
+        reg_u = self.reg_u
+
+        def encode(params, rng=None):
+            u = params["user_emb"]
+            v = params["item_emb"]
+            all_u, all_v = [u], [v]
+            for k in range(n_layers):
+                new_u = spmm(a_u, params["user_emb"])  # always base embeddings
+                new_v = spmm(a_i, params["item_emb"])
+                u = jax.nn.leaky_relu(new_u @ params[f"layer{k}"] + u)
+                v = jax.nn.leaky_relu(new_v @ params[f"layer{k}"] + v)
+                if rng is not None:
+                    r1, r2, rng = jax.random.split(rng, 3)
+                    mu = jax.random.bernoulli(r1, 0.9, u.shape)
+                    mv = jax.random.bernoulli(r2, 0.9, v.shape)
+                    u = jnp.where(mu, u / 0.9, 0.0)
+                    v = jnp.where(mv, v / 0.9, 0.0)
+                u = _l2n(u)
+                v = _l2n(v)
+                all_u.append(u)
+                all_v.append(v)
+            return jnp.concatenate(all_u, axis=1), jnp.concatenate(all_v, axis=1)
+
+        def loss_fn(params, batch, rng):
+            u, i, j, w = batch
+            users, items = encode(params, rng)
+            pu, qi, qj = users[u], items[i], items[j]
+            y = jnp.sum(pu * qi, axis=1) - jnp.sum(pu * qj, axis=1)
+            loss = -jnp.sum(w * jnp.log(jax.nn.sigmoid(y) + 1e-12))
+            reg = reg_u * (
+                _l2(pu * w[:, None]) + _l2(qi * w[:, None]) + _l2(qj * w[:, None])
+            )
+            reg = reg + reg_u * sum(
+                _l2(params[f"layer{k}"]) for k in range(n_layers)
+            )
+            return loss + reg
+
+        def score_params(params):
+            users, items = encode(params, None)
+            return {"user_emb": users, "item_emb": items}
+
+        return TrainSpec(
+            params,
+            loss_fn,
+            self.pairwise_sampler(),
+            mode="adam",
+            track_best=False,
+            score_params_fn=jax.jit(score_params),
+        )

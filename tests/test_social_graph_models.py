@@ -1,0 +1,86 @@
+"""Social/hypergraph SSL family end-to-end on planted block data + social
+blocks."""
+
+import numpy as np
+import pytest
+
+from qrec_tpu import ModelConf, QRec
+from qrec_tpu.ops.metrics import parse_measure
+
+
+def _write_dataset(tmp_path):
+    rng = np.random.RandomState(0)
+    lines = []
+    for u in range(40):
+        block = 0 if u < 20 else 1
+        items = rng.choice(15, size=10, replace=False) + block * 15
+        for i in items:
+            lines.append(f"u{u} i{i} 1\n")
+    rp = tmp_path / "ratings.txt"
+    rp.write_text("".join(lines))
+    trust = []
+    for u in range(40):
+        lo = 0 if u < 20 else 20
+        for f in rng.choice(20, size=4, replace=False) + lo:
+            if f != u:
+                trust.append(f"u{u} u{f} 1\n")
+    # add some reciprocated edges so motif algebra has bidirectional pairs
+    for u in range(0, 40, 2):
+        v = u + 1
+        trust.append(f"u{u} u{v} 1\n")
+        trust.append(f"u{v} u{u} 1\n")
+    tp = tmp_path / "trust.txt"
+    tp.write_text("".join(trust))
+    return str(rp), str(tp)
+
+
+def _conf(ratings, trust, name, extra=None):
+    base = {
+        "ratings": ratings,
+        "ratings.setup": "-columns 0 1 2",
+        "social": trust,
+        "social.setup": "-columns 0 1 2",
+        "model.name": name,
+        "evaluation.setup": "-ap 0.2",
+        "item.ranking": "on -topN 10",
+        "num.factors": "16",
+        "num.max.epoch": "30",
+        "batch_size": "64",
+        "learnRate": "-init 0.05 -max 1",
+        "reg.lambda": "-u 0.001 -i 0.001 -b 0.1 -s 0.1",
+        "output.setup": "off -dir ./results/",
+        "seed": "7",
+    }
+    if extra:
+        base.update(extra)
+    return ModelConf(base)
+
+
+@pytest.mark.parametrize(
+    "name,extra,floor",
+    [
+        ("MHCN", {"MHCN": "-n_layer 2 -ss_rate 0.01"}, 0.5),
+        (
+            "SEPT",
+            {"SEPT": "-n_layer 2 -ss_rate 0.005 -drop_rate 0.3 -ins_cnt 5"},
+            0.5,
+        ),
+        (
+            "BUIR",
+            {
+                "BUIR": "-n_layer 2 -tau 0.99 -drop_rate 0.2",
+                "learnRate": "-init 0.01 -max 1",
+                "num.max.epoch": "40",
+            },
+            0.35,  # negative-sample-free objective learns slower on tiny data
+        ),
+        ("DiffNet", {"DiffNet": "-n_layer 2"}, 0.5),
+        ("DHCF", {}, 0.5),
+    ],
+)
+def test_social_graph_models(tmp_path, name, extra, floor):
+    ratings, trust = _write_dataset(tmp_path)
+    conf = _conf(ratings, trust, name, extra)
+    measure = QRec(conf, seed=3).execute()
+    parsed = parse_measure(measure)
+    assert parsed["Top 10"]["Recall"] > floor, (name, parsed)
