@@ -59,6 +59,9 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "SlopeOne": ("qrec_tpu.models.classical", "SlopeOne"),
     "SVDPlusPlus": ("qrec_tpu.models.classical", "SVDPlusPlus"),
     "EE": ("qrec_tpu.models.classical", "EE"),
+    # walk-based network embedding
+    "CUNE_MF": ("qrec_tpu.models.walk", "CUNE_MF"),
+    "CUNE_BPR": ("qrec_tpu.models.walk", "CUNE_BPR"),
     # ALS family
     "WRMF": ("qrec_tpu.models.als", "WRMF"),
     "ExpoMF": ("qrec_tpu.models.als", "ExpoMF"),
