@@ -62,6 +62,10 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     # walk-based network embedding
     "CUNE_MF": ("qrec_tpu.models.walk", "CUNE_MF"),
     "CUNE_BPR": ("qrec_tpu.models.walk", "CUNE_BPR"),
+    "IF_BPR": ("qrec_tpu.models.ifbpr", "IF_BPR"),
+    # adversarial social refinement
+    "ESRF": ("qrec_tpu.models.adversarial_social", "ESRF"),
+    "RSGAN": ("qrec_tpu.models.adversarial_social", "RSGAN"),
     # ALS family
     "WRMF": ("qrec_tpu.models.als", "WRMF"),
     "ExpoMF": ("qrec_tpu.models.als", "ExpoMF"),
