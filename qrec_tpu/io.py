@@ -49,16 +49,33 @@ def load_ratings(
     dropped when ``rating < threshold`` and set to 1 otherwise.
     """
     rating_conf = OptionConf(conf["ratings.setup"])
-    with open(path) as f:
-        lines = f.readlines()
-    if rating_conf.contains("-header"):
-        lines = lines[1:]
     order = rating_conf["-columns"].strip().split()
     delim = rating_conf.get("-delim", _DEFAULT_DELIM)
     if len(order) < 2:
         raise DataFormatError("The rating file is not in a correct format (need >=2 columns).")
     u_col, i_col = int(order[0]), int(order[1])
     r_col = int(order[2]) if len(order) >= 3 else -1
+
+    # fast path: the C++ tokenizer covers the default delimiter class
+    if delim == _DEFAULT_DELIM:
+        from .native import parse_ratings_native
+
+        native = parse_ratings_native(
+            path, u_col, i_col, r_col,
+            binarize=binarized, threshold=threshold,
+            skip_header=rating_conf.contains("-header"),
+        )
+        if native is not None:
+            users, items, ratings, unames, inames = native
+            return [
+                [unames[u], inames[i], float(r)]
+                for u, i, r in zip(users, items, ratings)
+            ]
+
+    with open(path) as f:
+        lines = f.readlines()
+    if rating_conf.contains("-header"):
+        lines = lines[1:]
     pattern = re.compile(delim)
     data: List[list] = []
     for line_no, line in enumerate(lines):

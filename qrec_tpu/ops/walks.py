@@ -58,6 +58,14 @@ def random_walks(
     All walkers advance simultaneously; the per-row weighted choice uses a
     searchsorted over the globally accumulated weight vector.
     """
+    from ..native import random_walks_native
+
+    native = random_walks_native(
+        net, walk_count, walk_length, int(rng.randint(0, 2**31))
+    )
+    if native is not None:
+        return native
+
     indptr = net.indptr
     deg = np.diff(indptr)
     active = np.where(deg > 0)[0].astype(np.int32)
