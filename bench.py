@@ -17,10 +17,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: repeated bench runs (and driver invocations)
+# skip the 30s+ remote XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def build_problem(conf_overrides=None):
