@@ -131,7 +131,11 @@ def main():
     vs_baseline = float("nan")
     try:
         cpu = jax.devices("cpu")[0]
-        model_cpu = model_cls(conf, data)
+        # fair CPU baseline: the dense-bipartite MXU path is a TPU-specific
+        # choice; the CPU proxy uses the sparse COO path like the reference
+        conf_cpu = type(conf)(dict(conf.config))
+        conf_cpu.config["graph.backend"] = "coo"
+        model_cpu = model_cls(conf_cpu, data)
         spec_cpu = model_cpu.build()
         dt_cpu, _ = time_epochs(model_cpu, spec_cpu, args.cpu_epochs, device=cpu)
         eps_cpu = n_train / dt_cpu

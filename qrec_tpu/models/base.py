@@ -212,12 +212,27 @@ class IterativeRecommender(Recommender):
             }
         return self._train_arrays
 
+    @property
+    def rated_bitmask(self):
+        """Packed rated-items bitmask for O(1) membership probes."""
+        if not hasattr(self, "_rated_bitmask"):
+            self._rated_bitmask = jnp.asarray(
+                sampling.pack_bitmask(
+                    self.data.u_indptr,
+                    self.data.u_indices,
+                    self.num_users,
+                    self.num_items,
+                )
+            )
+        return self._rated_bitmask
+
     def pairwise_sampler(self, num_tries: int = 8) -> Callable:
         """rng -> (users, pos, neg, weight) batched epoch tensors."""
         ta = self.train_arrays
         row_iters = sampling._bisect_iters(
             int(np.max(np.diff(self.data.u_indptr))) if self.train_size else 1
         )
+        bitmask = self.rated_bitmask
 
         def sampler(rng):
             return sampling.pairwise_epoch(
@@ -230,6 +245,7 @@ class IterativeRecommender(Recommender):
                 batch_size=self.batch_size,
                 num_tries=num_tries,
                 row_iters=row_iters,
+                bitmask=bitmask,
             )
 
         return sampler
@@ -239,6 +255,7 @@ class IterativeRecommender(Recommender):
         row_iters = sampling._bisect_iters(
             int(np.max(np.diff(self.data.u_indptr))) if self.train_size else 1
         )
+        bitmask = self.rated_bitmask
 
         def sampler(rng):
             return sampling.pointwise_epoch(
@@ -252,6 +269,7 @@ class IterativeRecommender(Recommender):
                 num_negatives=num_negatives,
                 num_tries=num_tries,
                 row_iters=row_iters,
+                bitmask=bitmask,
             )
 
         return sampler
@@ -414,18 +432,44 @@ def _set_lr(opt_state, lr: float):
 
 class GraphRecommender(IterativeRecommender):
     """Adds the normalized joint adjacency on device
-    (base/graphRecommender.py:10-39)."""
+    (base/graphRecommender.py:10-39).
+
+    Backend selection: graphs whose U×I fits the dense budget use the
+    dense-bipartite MXU path (TPU random gather runs at ~2% of HBM
+    bandwidth; two dense bf16 matmuls are ~25× faster at benchmark scale);
+    larger graphs fall back to sorted-COO segment-sum. Override with the
+    config key ``graph.backend=coo|dense``.
+    """
 
     @property
     def joint_adj(self):
         if not hasattr(self, "_joint_adj"):
             from ..data.graph import joint_normalized_adjacency
+            from ..ops.spmm import DENSE_JOINT_LIMIT, DenseJoint, DeviceCOO
+
+            backend = self.config.get("graph.backend", "auto")
+            dense_ok = (
+                self.num_users * self.num_items <= DENSE_JOINT_LIMIT
+            )
+            if backend == "dense" or (backend == "auto" and dense_ok):
+                self._joint_adj = DenseJoint.from_interactions(self.data)
+            else:
+                self._joint_adj = DeviceCOO.from_host(
+                    joint_normalized_adjacency(self.data)
+                )
+        return self._joint_adj
+
+    @property
+    def joint_adj_coo(self):
+        """Always-COO joint adjacency (for per-edge masked values)."""
+        if not hasattr(self, "_joint_adj_coo"):
+            from ..data.graph import joint_normalized_adjacency
             from ..ops.spmm import DeviceCOO
 
-            self._joint_adj = DeviceCOO.from_host(
+            self._joint_adj_coo = DeviceCOO.from_host(
                 joint_normalized_adjacency(self.data)
             )
-        return self._joint_adj
+        return self._joint_adj_coo
 
 
 class SocialRecommender(IterativeRecommender):

@@ -72,7 +72,9 @@ def masked_infonce(
         jnp.dot(view1, view2.T, preferred_element_type=jnp.float32)
         / temperature
     )
-    logits = jnp.where(mask[None, :] > 0, logits, -jnp.inf)
+    # finite mask value: with -inf, pad rows produce 0·inf = NaN in the
+    # *forward* value (gradients are clean either way)
+    logits = jnp.where(mask[None, :] > 0, logits, -1e30)
     pos = jnp.diagonal(logits)
     lse = jax.nn.logsumexp(logits, axis=1)
     return jnp.sum(mask * (lse - pos))

@@ -1,0 +1,173 @@
+"""Pallas TPU kernels for the hot evaluation/loss paths.
+
+* ``masked_catalog_scores`` — fused U_block @ Vᵀ catalog scoring with
+  rated-item masking done from the packed uint32 bitmask inside the kernel:
+  the (B, I) score block is produced in item tiles on the MXU and masked in
+  VMEM via a repeat+shift bit-expansion, so neither a dense (B, I) bool mask
+  nor a padded rated-id table ever touches HBM. Replaces the
+  gather/scatter masking step of the XLA ranking path (ops/topk.py).
+
+* ``infonce_loss`` — fused InfoNCE: row-normalization, B×B similarity
+  logits, temperature, and masked logsumexp-minus-positive reduction in one
+  kernel; logits tiles live only in VMEM (the XLA path materializes the
+  full B×B logits in HBM). Drop-in for ops/losses.masked_infonce.
+
+Both have XLA fallbacks and run under ``interpret=True`` on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ITEM_TILE = 512
+ROW_TILE = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# masked catalog scorer
+# ---------------------------------------------------------------------------
+
+
+def _score_kernel(u_ref, v_ref, mask_ref, out_ref, *, mask_value):
+    # u: (B, d) f32 — full block; v: (T, d) item tile; mask: (B, T//32) u32
+    scores = jax.lax.dot_general(
+        u_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, T)
+    words = mask_ref[:]  # (B, T//32)
+    # element-wise repeat: word c>>5 lands at column c
+    rep = jnp.repeat(words, 32, axis=1)  # (B, T)
+    shifts = (
+        jax.lax.broadcasted_iota(jnp.uint32, scores.shape, 1) & 31
+    )
+    bits = (rep >> shifts) & 1
+    out_ref[:] = jnp.where(bits > 0, mask_value, scores)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mask_value", "interpret")
+)
+def masked_catalog_scores(
+    u_block: jnp.ndarray,  # (B, d) f32
+    items: jnp.ndarray,  # (I, d) f32 — I must be a multiple of ITEM_TILE
+    bitmask: jnp.ndarray,  # (B, I//32) uint32
+    mask_value: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, d = u_block.shape
+    i = items.shape[0]
+    assert i % ITEM_TILE == 0, "pad the catalog to ITEM_TILE"
+    assert bitmask.shape == (b, i // 32)
+    grid = (i // ITEM_TILE,)
+    words_per_tile = ITEM_TILE // 32
+    return pl.pallas_call(
+        functools.partial(_score_kernel, mask_value=mask_value),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ITEM_TILE, d), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b, words_per_tile), lambda j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, ITEM_TILE), lambda j: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, i), jnp.float32),
+        interpret=interpret,
+    )(u_block, items, bitmask)
+
+
+def masked_catalog_scores_xla(u_block, items, bitmask, mask_value=0.0):
+    """Reference/fallback implementation with identical semantics."""
+    scores = jnp.dot(u_block, items.T, preferred_element_type=jnp.float32)
+    i = items.shape[0]
+    words = jnp.repeat(bitmask, 32, axis=1)[:, :i]
+    shifts = (jnp.arange(i, dtype=jnp.uint32) & 31)[None, :]
+    bits = (words >> shifts) & 1
+    return jnp.where(bits > 0, mask_value, scores)
+
+
+# ---------------------------------------------------------------------------
+# fused InfoNCE
+# ---------------------------------------------------------------------------
+
+
+def _infonce_kernel(v1_ref, v2_ref, mask_ref, out_ref, *, temperature):
+    j = pl.program_id(0)
+    v1 = v1_ref[:]  # (Rt, d) — row block, already normalized by caller
+    v2 = v2_ref[:]  # (B, d)
+    mask = mask_ref[:]  # (1, B)
+    logits = (
+        jax.lax.dot_general(
+            v1, v2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        / temperature
+    )  # (Rt, B)
+    neg_inf = jnp.float32(-1e30)
+    logits = jnp.where(mask > 0, logits, neg_inf)
+    row_max = jnp.max(logits, axis=1, keepdims=True)
+    lse = jnp.log(
+        jnp.sum(jnp.exp(logits - row_max), axis=1, keepdims=True)
+    ) + row_max  # (Rt, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    diag = rows + j * v1.shape[0] == cols
+    pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=1, keepdims=True)
+    row_mask = jax.lax.dynamic_slice(
+        mask, (0, j * v1.shape[0]), (1, v1.shape[0])
+    ).reshape(-1, 1)
+    partial_sum = jnp.sum(row_mask * (lse - pos))
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0, 0] = 0.0
+
+    out_ref[0, 0] += partial_sum
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "interpret"))
+def infonce_loss(
+    view1: jnp.ndarray,  # (B, d)
+    view2: jnp.ndarray,  # (B, d)
+    mask: jnp.ndarray,  # (B,) 1=real row
+    temperature: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked InfoNCE with L2 normalization, fused logits+logsumexp."""
+    b, d = view1.shape
+    assert b % ROW_TILE == 0 or b <= ROW_TILE, "pad batch to ROW_TILE"
+    row_tile = min(ROW_TILE, b)
+    v1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
+    v2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
+    mask2d = mask.reshape(1, b).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_infonce_kernel, temperature=temperature),
+        grid=(b // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(v1, v2, mask2d)
+    return out[0, 0]

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,32 @@ def csr_searchsorted(
 
     lo_f, _ = lax.fori_loop(0, n_iters, body, (lo, hi))
     return lo_f
+
+
+def pack_bitmask(u_indptr, u_indices, num_users: int, num_items: int):
+    """Packed (U, ceil(I/32)) uint32 rated-bitmask (host build, numpy).
+
+    One random 4-byte gather replaces the 2·log(deg) gathers of the CSR
+    binary search — the membership test becomes a bit probe.
+    """
+    import numpy as np
+
+    words = (num_items + 31) // 32
+    mask = np.zeros((num_users, words), dtype=np.uint32)
+    rows = np.repeat(
+        np.arange(num_users, dtype=np.int64), np.diff(u_indptr)
+    )
+    cols = np.asarray(u_indices, dtype=np.int64)
+    np.bitwise_or.at(
+        mask, (rows, cols >> 5), (np.uint32(1) << (cols & 31).astype(np.uint32))
+    )
+    return mask
+
+
+def bitmask_member(mask: jnp.ndarray, users: jnp.ndarray, items: jnp.ndarray):
+    """Vectorized membership probe against a packed bitmask."""
+    words = mask[users, items >> 5]
+    return (words >> (items & 31).astype(jnp.uint32)) & 1 > 0
 
 
 def csr_member(
@@ -132,6 +158,7 @@ def sample_negatives(
     indptr: jnp.ndarray,
     num_tries: int = 8,
     row_iters: int = 32,
+    bitmask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """K-try rejection sampling with exact fallback.
 
@@ -139,28 +166,42 @@ def sample_negatives(
     that is not a training positive of the user; queries where every try hit
     a positive fall back to the exact rejection-free sampler. Semantics match
     the reference's loop-until-miss sampler (deepRecommender.py:42-47) while
-    staying fully on device with static shapes.
+    staying fully on device with static shapes. With ``bitmask`` the
+    membership test is a packed-word probe instead of a CSR binary search.
     """
     b = users.shape[0]
     rng_c, rng_e = jax.random.split(rng)
     cands = jax.random.randint(
         rng_c, (b, num_tries), 0, num_items, dtype=jnp.int32
     )
-    member = csr_member(
-        indices,
-        indptr,
-        jnp.repeat(users[:, None], num_tries, axis=1).reshape(-1),
-        cands.reshape(-1),
-        row_iters,
-    ).reshape(b, num_tries)
+    if bitmask is not None:
+        member = bitmask_member(
+            bitmask, users[:, None], cands
+        )
+    else:
+        member = csr_member(
+            indices,
+            indptr,
+            jnp.repeat(users[:, None], num_tries, axis=1).reshape(-1),
+            cands.reshape(-1),
+            row_iters,
+        ).reshape(b, num_tries)
     ok = ~member
     first_ok = jnp.argmax(ok, axis=1)  # 0 if none ok — handled below
     chosen = cands[jnp.arange(b), first_ok]
     any_ok = jnp.any(ok, axis=1)
-    exact = sample_negatives_exact(
-        rng_e, users, num_items, indices, indptr, row_iters
-    )
-    return jnp.where(any_ok, chosen, exact).astype(jnp.int32)
+
+    # the exact fallback is ~P(density^num_tries) rare; run it only when some
+    # query actually failed (lax.cond skips the whole branch at runtime)
+    def with_exact(_):
+        exact = sample_negatives_exact(
+            rng_e, users, num_items, indices, indptr, row_iters
+        )
+        return jnp.where(any_ok, chosen, exact)
+
+    return jax.lax.cond(
+        jnp.all(any_ok), lambda _: chosen, with_exact, operand=None
+    ).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("num_items", "batch_size", "num_tries", "row_iters"))
@@ -174,6 +215,7 @@ def pairwise_epoch(
     batch_size: int,
     num_tries: int = 8,
     row_iters: int = 32,
+    bitmask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shuffled (user, pos, neg, weight) tensors for one epoch, shaped
     ``(num_batches, batch_size)``; ``weight`` zeroes the padded tail.
@@ -191,7 +233,8 @@ def pairwise_epoch(
     pos = train_i[pad_idx]
     weight = (jnp.arange(padded) < n).astype(jnp.float32)
     neg = sample_negatives(
-        rng_neg, users, num_items, indices, indptr, num_tries, row_iters
+        rng_neg, users, num_items, indices, indptr, num_tries, row_iters,
+        bitmask=bitmask,
     )
     shape = (num_batches, batch_size)
     return (
@@ -217,6 +260,7 @@ def pointwise_epoch(
     num_negatives: int = 4,
     num_tries: int = 8,
     row_iters: int = 32,
+    bitmask=None,
 ):
     """Pointwise batches: each positive followed by ``num_negatives`` uniform
     negatives labeled 0 (deepRecommender.py:54-77). Returns (users, items,
@@ -232,7 +276,8 @@ def pointwise_epoch(
     w_pos = (jnp.arange(padded) < n).astype(jnp.float32)
     users_neg = jnp.repeat(users_pos, num_negatives)
     negs = sample_negatives(
-        rng_neg, users_neg, num_items, indices, indptr, num_tries, row_iters
+        rng_neg, users_neg, num_items, indices, indptr, num_tries, row_iters,
+        bitmask=bitmask,
     )
     k = 1 + num_negatives
     users = jnp.stack(

@@ -38,12 +38,67 @@ class DeviceCOO(NamedTuple):
         )
 
 
-def spmm(adj: DeviceCOO, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """``A @ x`` for row-sorted COO ``A`` and dense ``x`` (N_cols, d).
+class DenseJoint(NamedTuple):
+    """Dense-bipartite backend for the joint (U+I)×(U+I) adjacency.
+
+    TPU random gather/scatter runs at ~2% of HBM bandwidth, so for
+    benchmark-scale graphs the MXU wins outright: the joint adjacency is
+    block-off-diagonal, so ``Â @ [E_u; E_i]`` is exactly two dense matmuls
+    ``R̂ @ E_i`` and ``R̂ᵀ @ E_u``. Values are stored bf16 (accumulation in
+    f32) — ~0.4% relative error on edge weights, immaterial to training.
+
+    Used automatically by GraphRecommender.joint_adj when
+    ``num_users × num_items`` fits the dense budget; models needing per-edge
+    masked values (SGL/BUIR/SEPT views) stay on the COO path.
+    """
+
+    r_hat: jnp.ndarray  # (U, I), bf16
+    r_hat_t: jnp.ndarray  # (I, U), bf16
+    num_users: int
+
+    @property
+    def num_rows(self) -> int:
+        return self.r_hat.shape[0] + self.r_hat.shape[1]
+
+    @classmethod
+    def from_interactions(cls, data) -> "DenseJoint":
+        """Build D^-1/2 R D^-1/2 densely (binary interactions, matching
+        base/graphRecommender.py:10-29)."""
+        import numpy as np
+
+        deg_u = np.maximum(np.diff(data.u_indptr), 1).astype(np.float32)
+        deg_i = np.maximum(np.diff(data.i_indptr), 1).astype(np.float32)
+        u = data.train_u[data.csr_sel]
+        i = data.train_i[data.csr_sel]
+        vals = 1.0 / np.sqrt(deg_u[u]) / np.sqrt(deg_i[i])
+        r = np.zeros((data.num_users, data.num_items), dtype=np.float32)
+        r[u, i] = vals
+        r_d = jnp.asarray(r, dtype=jnp.bfloat16)
+        return cls(r_d, r_d.T, data.num_users)
+
+
+# entry budget for the dense-bipartite path (~1.2 GB at bf16)
+DENSE_JOINT_LIMIT = 600_000_000
+
+
+def _dense_joint_matmul(adj: DenseJoint, x: jnp.ndarray) -> jnp.ndarray:
+    nu = adj.num_users
+    xu = x[:nu].astype(jnp.bfloat16)
+    xi = x[nu:].astype(jnp.bfloat16)
+    out_u = jnp.dot(adj.r_hat, xi, preferred_element_type=jnp.float32)
+    out_i = jnp.dot(adj.r_hat_t, xu, preferred_element_type=jnp.float32)
+    return jnp.concatenate([out_u, out_i])
+
+
+def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``A @ x`` for a row-sorted COO or DenseJoint ``A`` and dense ``x``.
 
     ``vals`` overrides the stored edge weights (used for on-device edge
-    dropout / augmented views without rebuilding index arrays).
+    dropout / augmented views without rebuilding index arrays) — COO only.
     """
+    if isinstance(adj, DenseJoint):
+        assert vals is None, "per-edge values need the COO path"
+        return _dense_joint_matmul(adj, x)
     v = adj.vals if vals is None else vals
     gathered = x[adj.cols] * v[:, None]
     return jax.ops.segment_sum(
@@ -70,7 +125,7 @@ def drop_edges(
 
 
 def lightgcn_propagate(
-    adj: DeviceCOO,
+    adj,
     embeddings: jnp.ndarray,  # (U+I, d)
     num_layers: int,
     vals: Optional[jnp.ndarray] = None,

@@ -62,6 +62,23 @@ def test_lightgcn_propagate_matches_dense(tiny_data):
     assert np.allclose(got, expected, atol=1e-4)
 
 
+def test_dense_joint_matches_coo(tiny_data):
+    from qrec_tpu.ops.spmm import DenseJoint
+
+    coo = joint_normalized_adjacency(tiny_data)
+    dev = DeviceCOO.from_host(coo)
+    dense = DenseJoint.from_interactions(tiny_data)
+    n = tiny_data.num_users + tiny_data.num_items
+    e = np.random.RandomState(2).randn(n, 8).astype(np.float32)
+    out_coo = np.asarray(spmm(dev, jnp.asarray(e)))
+    out_dense = np.asarray(spmm(dense, jnp.asarray(e)))
+    # bf16 adjacency: ~1% tolerance
+    assert np.allclose(out_coo, out_dense, rtol=2e-2, atol=2e-2)
+    p_coo = np.asarray(lightgcn_propagate(dev, jnp.asarray(e), 2))
+    p_dense = np.asarray(lightgcn_propagate(dense, jnp.asarray(e), 2))
+    assert np.allclose(p_coo, p_dense, rtol=3e-2, atol=3e-2)
+
+
 def test_drop_edges_masks_values(tiny_data):
     coo = joint_normalized_adjacency(tiny_data)
     dev = DeviceCOO.from_host(coo)

@@ -119,3 +119,42 @@ def test_pointwise_epoch_labels(csr):
     # positives carry the training item, negatives avoid positives
     u0 = int(np.asarray(users)[0, 0])
     assert int(np.asarray(items)[0, 0]) in rows[u0]
+
+
+def test_bitmask_member_matches_csr(csr):
+    import jax.numpy as jnp
+    from qrec_tpu.ops.sampling import bitmask_member, pack_bitmask
+
+    indices, indptr, rows = csr
+    mask = jnp.asarray(
+        pack_bitmask(np.asarray(indptr), np.asarray(indices), 4, 10)
+    )
+    users, items, expected = [], [], []
+    for u in range(4):
+        for i in range(10):
+            users.append(u)
+            items.append(i)
+            expected.append(i in rows[u])
+    got = bitmask_member(
+        mask, jnp.asarray(users, dtype=jnp.int32), jnp.asarray(items, dtype=jnp.int32)
+    )
+    assert list(np.asarray(got)) == expected
+
+
+def test_sample_negatives_with_bitmask(csr):
+    import jax.numpy as jnp
+    from qrec_tpu.ops.sampling import pack_bitmask
+
+    indices, indptr, rows = csr
+    mask = jnp.asarray(
+        pack_bitmask(np.asarray(indptr), np.asarray(indices), 4, 10)
+    )
+    users = jnp.asarray(np.random.RandomState(5).randint(0, 4, size=512), dtype=jnp.int32)
+    negs = np.asarray(
+        S.sample_negatives(
+            jax.random.PRNGKey(2), users, 10, indices, indptr,
+            num_tries=4, bitmask=mask,
+        )
+    )
+    for u, j in zip(np.asarray(users), negs):
+        assert j not in rows[int(u)], (u, j)
