@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ITEM_TILE = 512
+ITEM_TILE = 4096  # 128 mask words per tile (Mosaic minor-dim alignment)
 ROW_TILE = 256
 
 
@@ -38,21 +38,48 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _score_kernel(u_ref, v_ref, mask_ref, out_ref, *, mask_value):
-    # u: (B, d) f32 — full block; v: (T, d) item tile; mask: (B, T//32) u32
+    # u: (B, d) f32 — full block; v: (T, d) item tile; mask: FULL (B, I//32)
+    # (Mosaic requires minor block dims ∈ {multiple of 128, full array}; the
+    # packed mask is small, so the whole array rides in VMEM and the tile's
+    # words are dynamic-sliced out.)
+    j = pl.program_id(0)
     scores = jax.lax.dot_general(
         u_ref[:],
         v_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, T)
-    words = mask_ref[:]  # (B, T//32)
-    # element-wise repeat: word c>>5 lands at column c
-    rep = jnp.repeat(words, 32, axis=1)  # (B, T)
-    shifts = (
-        jax.lax.broadcasted_iota(jnp.uint32, scores.shape, 1) & 31
+    t = scores.shape[1]
+    wpt = t // 32  # 128 words — keeps the slice offset 128-aligned
+    words = mask_ref[:, pl.ds(pl.multiple_of(j * wpt, 128), wpt)]
+    # Bit expansion without reshapes (Mosaic can't relayout (B,W,32)→(B,T)):
+    # broadcast each word to its 32 columns with a one-hot selection matmul
+    # on the MXU, exactly in f32 via 16-bit halves, then extract the bit by
+    # power-of-two division.
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (wpt, t), 0)
+    c_word = jax.lax.broadcasted_iota(jnp.int32, (wpt, t), 1) >> 5
+    sel = (w_idx == c_word).astype(jnp.float32)  # (wpt, T)
+    # Mosaic can't cast uint32→f32: bitcast to int32 and use logical shifts
+    words_i = pltpu.bitcast(words, jnp.int32)
+    lo = (words_i & 0xFFFF).astype(jnp.float32)  # (B, wpt), < 2^16 exact
+    hi = jax.lax.shift_right_logical(words_i, 16).astype(jnp.float32)
+    rep_lo = jax.lax.dot_general(
+        lo, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    bits = (rep >> shifts) & 1
-    out_ref[:] = jnp.where(bits > 0, mask_value, scores)
+    rep_hi = jax.lax.dot_general(
+        hi, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cbit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) & 31
+    use_hi = cbit >= 16
+    # exact 2^-s via the f32 exponent field (exp2 is an approximate
+    # transcendental on the VPU and misses the exact power of two)
+    inv = jax.lax.bitcast_convert_type(
+        ((127 - (cbit & 15)) << 23), jnp.float32
+    )
+    val = jnp.where(use_hi, rep_hi, rep_lo) * inv
+    vf = jnp.floor(val)
+    bits = vf - 2.0 * jnp.floor(vf * 0.5)  # vf mod 2
+    out_ref[:] = jnp.where(bits > 0.5, mask_value, scores)
 
 
 @functools.partial(
@@ -70,7 +97,6 @@ def masked_catalog_scores(
     assert i % ITEM_TILE == 0, "pad the catalog to ITEM_TILE"
     assert bitmask.shape == (b, i // 32)
     grid = (i // ITEM_TILE,)
-    words_per_tile = ITEM_TILE // 32
     return pl.pallas_call(
         functools.partial(_score_kernel, mask_value=mask_value),
         grid=grid,
@@ -80,13 +106,16 @@ def masked_catalog_scores(
                 (ITEM_TILE, d), lambda j: (j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (b, words_per_tile), lambda j: (0, j), memory_space=pltpu.VMEM
+                (b, i // 32), lambda j: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (b, ITEM_TILE), lambda j: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, i), jnp.float32),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(u_block, items, bitmask)
 
@@ -129,10 +158,9 @@ def _infonce_kernel(v1_ref, v2_ref, mask_ref, out_ref, *, temperature):
     cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     diag = rows + j * v1.shape[0] == cols
     pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=1, keepdims=True)
-    row_mask = jax.lax.dynamic_slice(
-        mask, (0, j * v1.shape[0]), (1, v1.shape[0])
-    ).reshape(-1, 1)
-    partial_sum = jnp.sum(row_mask * (lse - pos))
+    rt = v1.shape[0]
+    row_mask = mask_ref[:, pl.ds(pl.multiple_of(j * rt, 128), rt)]
+    partial_sum = jnp.sum(row_mask.reshape(-1, 1) * (lse - pos))
 
     @pl.when(j == 0)
     def _():

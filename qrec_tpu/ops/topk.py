@@ -176,3 +176,57 @@ def embedding_score_fn(params, uids):
     """Score block for plain embedding models: ``U[uids] @ V^T`` on the MXU."""
     u, v = params["user_emb"], params["item_emb"]
     return jnp.dot(u[uids], v.T, preferred_element_type=jnp.float32)
+
+
+def pallas_catalog_topk(
+    user_emb: jnp.ndarray,  # (U, d) final user embeddings
+    item_emb: jnp.ndarray,  # (I, d) final item embeddings
+    uids: np.ndarray,  # (B,) test-user ids, -1 = unseen
+    bitmask: jnp.ndarray,  # (U, ceil(I/32)) packed rated mask
+    global_mean: float,
+    k: int,
+    batch_size: int = 256,
+    mask_value: float = 0.0,
+):
+    """Full-catalog top-k via the fused Pallas masked scorer
+    (ops/pallas_kernels.masked_catalog_scores): the rated-item masking runs
+    in-kernel from the packed bitmask; items are zero-padded to the kernel's
+    item tile. Returns (ids, scores) numpy arrays of shape (B, k)."""
+    from .pallas_kernels import ITEM_TILE, masked_catalog_scores
+
+    i, d = item_emb.shape
+    i_pad = ((i + ITEM_TILE - 1) // ITEM_TILE) * ITEM_TILE
+    words = i_pad // 32
+    v_pad = jnp.zeros((i_pad, d), dtype=jnp.float32).at[:i].set(item_emb)
+    # padding items must never win: mark them rated in an extra mask column
+    # block… simpler: they score 0 like masked items; exclude via id filter
+    mask_pad = jnp.zeros(
+        (bitmask.shape[0], words), dtype=jnp.uint32
+    ).at[:, : bitmask.shape[1]].set(bitmask)
+
+    @partial(jax.jit, static_argnames=())
+    def one_batch(u_block, m_block, unseen):
+        scores = masked_catalog_scores(u_block, v_pad, m_block, mask_value)
+        # unseen users score the global mean everywhere
+        scores = jnp.where(
+            unseen[:, None], jnp.full_like(scores, global_mean), scores
+        )
+        # pad items get -inf so they never enter the top-k
+        col_ok = jnp.arange(i_pad) < i
+        scores = jnp.where(col_ok[None, :], scores, -jnp.inf)
+        s, idx = jax.lax.top_k(scores, k)
+        return idx.astype(jnp.int32), s
+
+    b = len(uids)
+    ids_out = np.empty((b, k), dtype=np.int32)
+    scores_out = np.empty((b, k), dtype=np.float32)
+    for start in range(0, b, batch_size):
+        end = min(start + batch_size, b)
+        pad = batch_size - (end - start)
+        ub = np.pad(uids[start:end], (0, pad), constant_values=-1)
+        u_block = user_emb[jnp.asarray(np.maximum(ub, 0))]
+        m_block = mask_pad[jnp.asarray(np.maximum(ub, 0))]
+        idx, s = one_batch(u_block, m_block, jnp.asarray(ub < 0))
+        ids_out[start:end] = np.asarray(idx)[: end - start]
+        scores_out[start:end] = np.asarray(s)[: end - start]
+    return ids_out, scores_out

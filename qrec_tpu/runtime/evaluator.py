@@ -53,8 +53,27 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
     ranker = CatalogRanker(
         data, k=n, batch_size=getattr(model, "eval_batch_size", 1024)
     )
-    score_fn, params = model.score_fn_params()
-    ids, scores = ranker.topk(score_fn, params)
+    # eval.backend=pallas uses the fused masked-scorer kernel for plain
+    # embedding models (needs final U/V and the packed rated bitmask)
+    use_pallas = (
+        conf.get("eval.backend", "xla") == "pallas"
+        and getattr(model, "U", None) is not None
+        and getattr(model, "V", None) is not None
+    )
+    if use_pallas:
+        from ..ops.topk import pallas_catalog_topk
+
+        ids, scores = pallas_catalog_topk(
+            model.U,
+            model.V,
+            ranker.uids,
+            model.rated_bitmask,
+            data.global_mean,
+            n,
+        )
+    else:
+        score_fn, params = model.score_fn_params()
+        ids, scores = ranker.topk(score_fn, params)
 
     rec_list = {}
     rec_output = [

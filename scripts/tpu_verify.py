@@ -1,0 +1,122 @@
+"""Consolidated TPU verification: Pallas kernel numerics + timings, plus
+full-protocol quality runs whose metrics feed PARITY.md.
+
+Run as ONE process (the axon TPU serializes sessions):
+    python scripts/tpu_verify.py [--quality]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, *args, n=20):
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n
+
+
+def verify_kernels():
+    import jax
+    import jax.numpy as jnp
+
+    from qrec_tpu.ops import losses as L
+    from qrec_tpu.ops.pallas_kernels import (
+        infonce_loss,
+        masked_catalog_scores,
+        masked_catalog_scores_xla,
+    )
+    from qrec_tpu.ops.sampling import pack_bitmask
+
+    rng = np.random.RandomState(0)
+    b, d, i = 256, 64, 20480
+    u = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(i, d).astype(np.float32))
+    indptr = [0]
+    indices = []
+    for _ in range(b):
+        row = np.sort(rng.choice(i, size=50, replace=False))
+        indices.extend(row)
+        indptr.append(len(indices))
+    mask = jnp.asarray(
+        pack_bitmask(np.array(indptr), np.array(indices, dtype=np.int32), b, i)
+    )
+    got = masked_catalog_scores(u, v, mask, 0.0)
+    jax.block_until_ready(got)
+    print("[pallas] scorer compiled", flush=True)
+    exp = masked_catalog_scores_xla(u, v, mask, 0.0)
+    diff = float(jnp.max(jnp.abs(got - exp)))
+    print(f"[pallas] scorer max|diff| vs XLA: {diff:.2e}", flush=True)
+    assert diff < 1e-3
+    t_p = timeit(masked_catalog_scores, u, v, mask)
+    t_x = timeit(jax.jit(masked_catalog_scores_xla), u, v, mask)
+    print(
+        f"[pallas] scorer {t_p * 1e3:.2f} ms vs XLA {t_x * 1e3:.2f} ms",
+        flush=True,
+    )
+
+    b2, d2 = 2048, 64
+    v1 = jnp.asarray(rng.randn(b2, d2).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(b2, d2).astype(np.float32))
+    m2 = jnp.ones(b2)
+    gl = infonce_loss(v1, v2, m2, 0.2)
+    el = L.masked_infonce(v1, v2, m2, 0.2)
+    rel = abs(float(gl) - float(el)) / abs(float(el))
+    print(f"[pallas] infonce rel diff: {rel:.2e}", flush=True)
+    assert rel < 1e-4
+    t_p = timeit(lambda a, c: infonce_loss(a, c, m2, 0.2), v1, v2)
+    t_x = timeit(
+        jax.jit(lambda a, c: L.masked_infonce(a, c, m2, 0.2)), v1, v2
+    )
+    print(
+        f"[pallas] infonce {t_p * 1e3:.2f} ms vs XLA {t_x * 1e3:.2f} ms",
+        flush=True,
+    )
+
+
+def quality_runs():
+    from qrec_tpu import ModelConf, QRec
+    from qrec_tpu.ops.metrics import parse_measure
+
+    results = {}
+    for name, epochs in (("BPR", 100), ("LightGCN", 120), ("SimGCL", 50)):
+        conf = ModelConf(f"config/{name}.conf")
+        conf.config["num.max.epoch"] = str(epochs)
+        conf.config["output.setup"] = "off -dir ./results/"
+        t0 = time.time()
+        rec = QRec(conf, seed=1)
+        measure = rec.execute()
+        wall = time.time() - t0
+        parsed = parse_measure(measure).get("Top 10", {})
+        results[name] = {
+            "epochs": epochs,
+            "wall_seconds": round(wall, 1),
+            **{k: round(v, 5) for k, v in parsed.items()},
+        }
+        print(f"[quality] {name}: {results[name]}", flush=True)
+    print(json.dumps(results), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quality", action="store_true")
+    ap.add_argument("--kernels", action="store_true")
+    args = ap.parse_args()
+    if args.kernels or not args.quality:
+        verify_kernels()
+    if args.quality:
+        quality_runs()

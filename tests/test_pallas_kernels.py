@@ -16,7 +16,7 @@ from qrec_tpu.ops.sampling import pack_bitmask
 
 def test_masked_catalog_scores_interpret():
     rng = np.random.RandomState(0)
-    b, d, i = 8, 16, 1024  # i multiple of ITEM_TILE=512
+    b, d, i = 8, 16, 8192  # i multiple of ITEM_TILE
     u = rng.randn(b, d).astype(np.float32)
     v = rng.randn(i, d).astype(np.float32)
     # random rated sets per user

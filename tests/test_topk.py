@@ -69,3 +69,41 @@ def test_topk_device_matches_host_path(tiny_data):
     ids_d, scores_d = ranker.topk_device(embedding_score_fn, params)
     assert np.allclose(scores_h, np.asarray(scores_d), atol=1e-6)
     assert (ids_h == np.asarray(ids_d)).all()
+
+
+def test_pallas_eval_backend_matches_xla(tiny_data, monkeypatch):
+    """eval.backend=pallas produces the same recommendations as the XLA
+    path (interpret-mode kernel on CPU)."""
+    import qrec_tpu.ops.pallas_kernels as pk
+
+    # route the kernel through interpret mode on CPU
+    orig = pk.masked_catalog_scores
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pk, "masked_catalog_scores", interp)
+
+    from qrec_tpu.ops.sampling import pack_bitmask
+    from qrec_tpu.ops.topk import pallas_catalog_topk
+
+    rng = np.random.RandomState(7)
+    d = 8
+    U = jnp.asarray(rng.randn(tiny_data.num_users, d).astype(np.float32))
+    V = jnp.asarray(rng.randn(tiny_data.num_items, d).astype(np.float32))
+    bitmask = jnp.asarray(
+        pack_bitmask(
+            tiny_data.u_indptr, tiny_data.u_indices,
+            tiny_data.num_users, tiny_data.num_items,
+        )
+    )
+    ranker = CatalogRanker(tiny_data, k=3, batch_size=4)
+    ids_x, scores_x = ranker.topk(
+        embedding_score_fn, {"user_emb": U, "item_emb": V}
+    )
+    ids_p, scores_p = pallas_catalog_topk(
+        U, V, ranker.uids, bitmask, tiny_data.global_mean, 3, batch_size=4
+    )
+    assert np.allclose(scores_x, scores_p, atol=1e-5)
+    assert (ids_x == ids_p).all()
