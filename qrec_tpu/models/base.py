@@ -298,6 +298,60 @@ class IterativeRecommender(Recommender):
 
         return sampler
 
+    # -- multi-chip placement ---------------------------------------------
+    @property
+    def mesh(self):
+        """('data','model') mesh when multi-chip parallelism is enabled.
+
+        Opt-in via ``parallel.setup=on [-model K]`` or automatic when more
+        than one device is visible. Embedding tables are row-sharded over
+        'model'; epoch batch tensors are sharded over 'data'; XLA GSPMD
+        inserts the collectives (numerics verified identical to
+        single-device in tests/test_parallel.py).
+        """
+        if not hasattr(self, "_mesh"):
+            import jax
+
+            self._mesh = None
+            setup = self.config.get("parallel.setup")
+            n_dev = len(jax.devices())
+            enabled = False
+            model_par = None
+            if setup is not None:
+                opts = OptionConf(setup)
+                enabled = opts.isMainOn()
+                model_par = opts.get_int("-model", 0) or None
+            elif n_dev > 1 and jax.default_backend() == "tpu":
+                enabled = True
+            if enabled and n_dev > 1:
+                from ..parallel.mesh import make_mesh, shardings
+
+                self._mesh = make_mesh(model_parallel=model_par)
+                self._shardings = shardings(self._mesh)
+        return self._mesh
+
+    def _place(self, params, batches=None):
+        """device_put params (embedding rows over 'model') and batches
+        (leading batch dim over 'data') onto the mesh, if one is active."""
+        if self.mesh is None:
+            return params, batches
+        import jax
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = self._shardings
+        params = sh.params(params) if isinstance(params, dict) else params
+        if batches is not None:
+            # epoch tensors are (num_batches, batch, ...): shard the batch dim
+            batch_sh = NamedSharding(self._mesh, P(None, "data"))
+            batches = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, batch_sh)
+                if x.ndim >= 2
+                else jax.device_put(x, sh.replicated),
+                batches,
+            )
+        return params, batches
+
     # -- quick eval -------------------------------------------------------
     def _quick_ranker(self) -> Optional[CatalogRanker]:
         if not self.ranking.isMainOn() or len(self.data.test_set_u) == 0:
@@ -387,10 +441,15 @@ class IterativeRecommender(Recommender):
         ranker = self._quick_ranker() if track_best else None
         best_params = params
 
+        params, _ = self._place(params)
+        if self.mesh is not None:
+            opt_state = optimizer.init(params)  # re-init on sharded params
+
         rng = jax.random.PRNGKey(self.seed + 1)
         for epoch in range(max_epoch):
             rng, rng_samp, rng_step = jax.random.split(rng, 3)
             batches = sampler(rng_samp)
+            _, batches = self._place(None, batches)
             params, opt_state, loss = run_epoch(params, opt_state, batches, rng_step)
             loss_val = float(loss)
             lr = bold.lr if bold else self.lrate

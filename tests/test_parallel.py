@@ -79,3 +79,42 @@ def test_sharded_embedding_training_step_matches_single_device():
     assert np.allclose(float(l1), float(l2), rtol=1e-5)
     for k in p1:
         assert np.allclose(np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5), k
+
+
+def test_sharded_training_end_to_end(tmp_path):
+    """parallel.setup=on trains BPR over the 8-device mesh end-to-end."""
+    from qrec_tpu import ModelConf, QRec
+    from qrec_tpu.ops.metrics import parse_measure
+
+    rng = np.random.RandomState(0)
+    lines = []
+    for u in range(40):
+        block = 0 if u < 20 else 1
+        items = rng.choice(15, size=10, replace=False) + block * 15
+        for i in items:
+            lines.append(f"u{u} i{i} 1\n")
+    p = tmp_path / "ratings.txt"
+    p.write_text("".join(lines))
+    conf = ModelConf(
+        {
+            "ratings": str(p),
+            "ratings.setup": "-columns 0 1 2",
+            "model.name": "BPR",
+            "evaluation.setup": "-ap 0.2",
+            "item.ranking": "on -topN 10",
+            "num.factors": "16",
+            "num.max.epoch": "30",
+            "batch_size": "64",
+            "learnRate": "-init 0.05 -max 1",
+            "reg.lambda": "-u 0.01 -i 0.01 -b 0.1 -s 0.1",
+            "output.setup": "off -dir ./results/",
+            "parallel.setup": "on -model 2",
+            "seed": "7",
+        }
+    )
+    rec = QRec(conf, seed=3)
+    measure = rec.execute()
+    parsed = parse_measure(measure)
+    assert parsed["Top 10"]["Recall"] > 0.5, parsed
+    assert rec.model.mesh is not None
+    assert rec.model.mesh.shape == {"data": 4, "model": 2}
