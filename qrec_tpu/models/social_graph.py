@@ -11,6 +11,8 @@ reference's per-epoch host rebuilds.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,7 +65,30 @@ class MHCN(SocialRecommender, GraphRecommender):
         self.ss_rate = args.get_float("-ss_rate")
 
     def _motif_matrices(self):
-        """Triangle-motif adjacency algebra (MHCN.py:54-85), verbatim."""
+        """Triangle-motif adjacency algebra (MHCN.py:54-85), verbatim.
+
+        Cached on disk keyed by the interaction/relation content hash (the
+        algebra is a one-time O(nnz·deg) host cost — SURVEY hard part 4)."""
+        import hashlib
+        import pickle
+
+        key_src = np.concatenate(
+            [
+                self.data.train_u, self.data.train_i,
+                self.social.src, self.social.dst,
+            ]
+        ).tobytes()
+        digest = hashlib.sha1(key_src).hexdigest()[:16]
+        cache = f"/tmp/qrec_motifs_{digest}.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        result = self._compute_motif_matrices()
+        with open(cache, "wb") as f:
+            pickle.dump(result, f)
+        return result
+
+    def _compute_motif_matrices(self):
         src, dst, _ = self.social.coo()
         s = sp.csr_matrix(
             (np.ones(len(src), dtype=np.float32), (src, dst)),
