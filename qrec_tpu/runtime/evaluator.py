@@ -55,10 +55,16 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
     )
     # eval.backend=pallas uses the fused masked-scorer kernel for plain
     # embedding models (needs final U/V and the packed rated bitmask)
+    from ..models.base import Recommender as _RecBase
+
     use_pallas = (
         conf.get("eval.backend", "xla") == "pallas"
         and getattr(model, "U", None) is not None
         and getattr(model, "V", None) is not None
+        # only plain U·Vᵀ scorers — models with bias/distance scoring
+        # override score_fn_params and must take the XLA path
+        and type(model).score_fn_params is _RecBase.score_fn_params
+        and hasattr(model, "rated_bitmask")
     )
     if use_pallas:
         from ..ops.topk import pallas_catalog_topk
