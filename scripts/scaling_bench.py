@@ -1,0 +1,118 @@
+"""Scaling methodology harness: examples/s at mesh sizes 1/2/4/8.
+
+On this build environment only one real TPU chip is reachable, so the
+harness runs on virtual CPU devices to validate the *mechanics* (sharded
+epoch runner, collectives, batch-dim sharding); the printed efficiencies are
+meaningful only on real multi-chip hardware, where the same code path runs
+unchanged (jax.distributed.initialize for multi-host).
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scripts/scaling_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# stay off the (single-chip) TPU unless explicitly requested — probing the
+# backend would initialize it and pin the platform
+if os.environ.get("QREC_SCALING_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import optax
+
+from qrec_tpu import ModelConf
+from qrec_tpu.data.dataset import Interactions
+from qrec_tpu.models import get_model
+from qrec_tpu.runtime.trainer import make_epoch_runner
+
+
+def build(conf_overrides=None):
+    rng = np.random.RandomState(0)
+    train, test = [], []
+    for u in range(2000):
+        items = rng.choice(4000, size=24, replace=False)
+        for i in items[:20]:
+            train.append([f"u{u}", f"i{i}", 1.0])
+        for i in items[20:]:
+            test.append([f"u{u}", f"i{i}", 1.0])
+    conf = ModelConf(
+        {
+            "ratings": "synthetic",
+            "ratings.setup": "-columns 0 1 2",
+            "model.name": "BPR",
+            "evaluation.setup": "-ap 0.2",
+            "item.ranking": "on -topN 10",
+            "num.factors": "64",
+            "num.max.epoch": "3",
+            "batch_size": "4096",
+            "learnRate": "-init 0.05 -max 1",
+            "reg.lambda": "-u 0.01 -i 0.01 -b 0.1 -s 0.1",
+            "output.setup": "off -dir ./results/",
+            "seed": "1",
+        }
+    )
+    if conf_overrides:
+        conf.config.update(conf_overrides)
+    return conf, Interactions(conf, train, test)
+
+
+def measure(n_devices):
+    conf, data = build(
+        {"parallel.setup": f"on -model {2 if n_devices % 2 == 0 and n_devices > 1 else 1}"}
+        if n_devices > 1
+        else {}
+    )
+    model = get_model("BPR")(conf, data)
+    if n_devices > 1:
+        from qrec_tpu.parallel.mesh import make_mesh, shardings
+
+        model._mesh = make_mesh(n_devices)
+        model._shardings = shardings(model._mesh)
+    else:
+        model._mesh = None
+    spec = model.build()
+    optimizer = optax.sgd(0.05)
+    run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
+    params, _ = model._place(spec.params)
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(0)
+    r1, r2 = jax.random.split(rng)
+    batches = spec.sampler(r1)
+    _, batches = model._place(None, batches)
+    params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for k in range(3):
+        batches = spec.sampler(jax.random.fold_in(rng, k))
+        _, batches = model._place(None, batches)
+        params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / 3
+    return len(data.training_data) / dt
+
+
+def main():
+    n = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8) if s <= n]
+    base = None
+    print(f"devices available: {n} ({jax.default_backend()})")
+    for s in sizes:
+        eps = measure(s)
+        if base is None:
+            base = eps
+        eff = eps / (base * s) * 100
+        print(
+            f"mesh={s}: {eps:,.0f} ex/s  scaling efficiency {eff:.0f}%",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
