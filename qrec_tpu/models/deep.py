@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops import losses as L
 from .base import IterativeRecommender, TrainSpec
 
 _EPS = 10e-10

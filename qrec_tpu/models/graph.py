@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..data.graph import joint_bipartite_coo
 from ..ops import losses as L
-from ..ops.spmm import lightgcn_propagate, renormalize_vals, spmm, subgraph_vals
+from ..ops.spmm import lightgcn_propagate, spmm, subgraph_vals
 from .base import GraphRecommender, TrainSpec
 
 

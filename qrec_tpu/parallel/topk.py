@@ -10,8 +10,6 @@ score row. Replaces the reference's per-user Python loop + numba heap
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

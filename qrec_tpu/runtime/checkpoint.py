@@ -16,8 +16,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import numpy as np
-
 
 class Checkpointer:
     def __init__(self, directory: str, max_to_keep: int = 3):

@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
-import numpy as np
-
 from ..config import ModelConf
 from ..errors import EvaluationError
 from ..io import write_file
