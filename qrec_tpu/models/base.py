@@ -497,14 +497,22 @@ class GraphRecommender(IterativeRecommender):
     dense-bipartite MXU path (TPU random gather runs at ~2% of HBM
     bandwidth; two dense bf16 matmuls are ~25× faster at benchmark scale);
     larger graphs fall back to sorted-COO segment-sum. Override with the
-    config key ``graph.backend=coo|dense``.
+    config key ``graph.backend=coo|dense|pallas`` (``pallas`` = the one-hot
+    MXU scatter kernel in ops/pallas_kernels.weighted_segment_matmul).
     """
 
     @property
     def joint_adj(self):
         if not hasattr(self, "_joint_adj"):
+            import jax
+
             from ..data.graph import joint_normalized_adjacency
-            from ..ops.spmm import DENSE_JOINT_LIMIT, DenseJoint, DeviceCOO
+            from ..ops.spmm import (
+                DENSE_JOINT_LIMIT,
+                DenseJoint,
+                DeviceCOO,
+                PaddedCOO,
+            )
 
             backend = self.config.get("graph.backend", "auto")
             dense_ok = (
@@ -512,9 +520,24 @@ class GraphRecommender(IterativeRecommender):
             )
             if backend == "dense" or (backend == "auto" and dense_ok):
                 self._joint_adj = DenseJoint.from_interactions(self.data)
-            else:
+            elif backend == "pallas":
+                # One-hot MXU scatter kernel (ops/pallas_kernels.py). The
+                # joint adjacency is symmetric, which PaddedCOO requires.
+                self._joint_adj = PaddedCOO.from_host(
+                    joint_normalized_adjacency(self.data),
+                    interpret=jax.default_backend() != "tpu",
+                    check_symmetric=False,
+                )
+            elif backend in ("coo", "auto"):
                 self._joint_adj = DeviceCOO.from_host(
                     joint_normalized_adjacency(self.data)
+                )
+            else:
+                from ..errors import ConfigError
+
+                raise ConfigError(
+                    f"unknown graph.backend {backend!r} "
+                    "(expected auto|dense|coo|pallas)"
                 )
         return self._joint_adj
 

@@ -12,7 +12,16 @@
   kernel; logits tiles live only in VMEM (the XLA path materializes the
   full B×B logits in HBM). Drop-in for ops/losses.masked_infonce.
 
-Both have XLA fallbacks and run under ``interpret=True`` on CPU for tests.
+* ``weighted_segment_matmul`` — the scatter half of COO SpMM as one-hot
+  matmuls on the MXU: edges are pre-partitioned by row block (host, once
+  per graph — ops/spmm.PaddedCOO), the kernel builds the (RB, E_t)
+  weighted selection matrix in VMEM per tile and accumulates
+  ``S @ gathered`` into the revisited output row block. Measured on one
+  v5e at yelp2018 scale (854k directed edges): XLA's sorted
+  ``segment_sum`` runs at ~33 GB/s effective; this kernel streams the
+  gathered values at near memcpy rate.
+
+All have XLA fallbacks and run under ``interpret=True`` on CPU for tests.
 """
 
 from __future__ import annotations
@@ -199,3 +208,80 @@ def infonce_loss(
         interpret=interpret,
     )(v1, v2, mask2d)
     return out[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# weighted sorted-segment-sum via one-hot MXU matmul (COO SpMM scatter half)
+# ---------------------------------------------------------------------------
+
+
+def _segmm_kernel(block_id_ref, is_first_ref, g_ref, vals_ref, rl_ref, out_ref):
+    t = pl.program_id(0)
+
+    @pl.when(is_first_ref[t] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rb = out_ref.shape[0]
+    et = g_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rb, et), 0)
+    # weighted one-hot selection: S[r, e] = vals[e] if rows_local[e] == r
+    sel = jnp.where(rl_ref[:] == iota, vals_ref[:], 0.0).astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        sel,
+        g_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "num_blocks", "interpret"))
+def weighted_segment_matmul(
+    gathered: jnp.ndarray,  # (E_pad, d) bf16/f32 — x[cols_padded]
+    vals: jnp.ndarray,  # (1, E_pad) f32, 0 on padding
+    rows_local: jnp.ndarray,  # (1, E_pad) int32 in [0, row_block)
+    block_ids: jnp.ndarray,  # (T,) int32 non-decreasing output block per tile
+    is_first: jnp.ndarray,  # (T,) int32 — 1 on the first tile of each block
+    row_block: int,
+    num_blocks: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sorted segment-sum of ``vals * gathered`` rows into
+    ``num_blocks * row_block`` output rows. Edge tiles must be grouped by
+    output block (ops/spmm.PaddedCOO layout). Accumulates in f32; the
+    selection matmul runs in bf16 — same precision class as the DenseJoint
+    backend's bf16 adjacency."""
+    e_pad, d = gathered.shape
+    t = block_ids.shape[0]
+    assert e_pad % t == 0
+    et = e_pad // t
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((et, d), lambda i, b, f: (i, 0)),
+            pl.BlockSpec((1, et), lambda i, b, f: (0, i)),
+            pl.BlockSpec((1, et), lambda i, b, f: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((row_block, d), lambda i, b, f: (b[i], 0)),
+    )
+    return pl.pallas_call(
+        _segmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_blocks * row_block, d), jnp.float32),
+        interpret=interpret,
+    )(block_ids, is_first, gathered, vals, rows_local)
+
+
+def weighted_segment_matmul_xla(
+    gathered, vals, rows_local, block_ids, is_first, row_block, num_blocks
+):
+    """Reference/fallback implementation with identical semantics."""
+    e_pad, d = gathered.shape
+    t = block_ids.shape[0]
+    et = e_pad // t
+    rows = (
+        jnp.repeat(block_ids, et) * row_block + rows_local.reshape(-1)
+    ).astype(jnp.int32)
+    g = gathered.astype(jnp.float32) * vals.reshape(-1, 1)
+    return jax.ops.segment_sum(g, rows, num_segments=num_blocks * row_block)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,6 +101,9 @@ def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray
     if isinstance(adj, DenseJoint):
         assert vals is None, "per-edge values need the COO path"
         return _dense_joint_matmul(adj, x)
+    if isinstance(adj, PaddedCOO):
+        v = adj.vals if vals is None else adj.pad_vals(vals)
+        return _padded_spmm(adj, x, v)
     v = adj.vals if vals is None else vals
     gathered = x[adj.cols] * v[:, None]
     return jax.ops.segment_sum(
@@ -197,3 +202,152 @@ def node_drop_vals(
     keep_node = jax.random.bernoulli(rng, 1.0 - drop_rate, (n,))
     keep = keep_node[adj.rows] & keep_node[adj.cols]
     return jnp.where(keep, adj.vals, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed symmetric COO backend (PaddedCOO)
+# ---------------------------------------------------------------------------
+
+
+class PaddedCOO(NamedTuple):
+    """Row-block-partitioned COO layout for the Pallas SpMM path.
+
+    Edges are grouped by output row block (``row_block`` rows per block) and
+    padded per block to a multiple of the edge-tile size, so the scatter half
+    of ``A @ x`` runs as one-hot MXU matmuls
+    (ops/pallas_kernels.weighted_segment_matmul) instead of XLA's scatter-add
+    (measured ~7 ms vs ~0.4 ms for yelp2018-scale graphs on one v5e). The
+    gather half stays XLA-native (``x[cols]`` in bf16).
+
+    Backward passes reuse the same kernel: the layout asserts a **symmetric**
+    matrix (the joint adjacency of base/graphRecommender.py:10-29 is), so
+    ``A^T @ g = A @ g``. Per-edge value overrides (SGL/SEPT/BUIR dropout
+    views) are permuted into the padded layout on device through ``perm``.
+    """
+
+    cols: jnp.ndarray  # (E_pad,) int32, 0 on padding
+    rows_local: jnp.ndarray  # (1, E_pad) int32 in [0, row_block)
+    vals: jnp.ndarray  # (1, E_pad) f32, 0 on padding
+    perm: jnp.ndarray  # (E_pad,) int32 index into original edge order, 0 on pad
+    valid: jnp.ndarray  # (1, E_pad) f32 1/0 padding mask
+    block_ids: jnp.ndarray  # (T,) int32 non-decreasing
+    is_first: jnp.ndarray  # (T,) int32
+    num_rows: int
+    num_cols: int
+    row_block: int
+    num_blocks: int
+    interpret: bool = False
+
+    @classmethod
+    def from_host(
+        cls,
+        coo,
+        row_block: int = 512,
+        edge_tile: int = 2048,
+        interpret: bool = False,
+        check_symmetric: bool = True,
+    ) -> "PaddedCOO":
+        rows = np.asarray(coo.rows)
+        cols = np.asarray(coo.cols)
+        vals = np.asarray(coo.vals)
+        n_rows, n_cols = int(coo.shape[0]), int(coo.shape[1])
+        assert n_rows == n_cols, "PaddedCOO requires a square (symmetric) matrix"
+        if check_symmetric:
+            import scipy.sparse as _sp
+
+            m = _sp.csr_matrix((vals, (rows, cols)), shape=(n_rows, n_cols))
+            if (m != m.T).nnz:
+                raise ValueError("PaddedCOO requires a symmetric matrix")
+        num_blocks = max(1, -(-n_rows // row_block))
+        blk = rows // row_block
+        counts = np.bincount(blk, minlength=num_blocks)
+        padded = np.maximum(-(-counts // edge_tile), (counts > 0)) * edge_tile
+        # keep empty blocks out of the tile list entirely
+        offs = np.zeros(num_blocks + 1, dtype=np.int64)
+        np.cumsum(padded, out=offs[1:])
+        e_pad = int(offs[-1])
+        perm = np.zeros(e_pad, dtype=np.int32)
+        valid = np.zeros(e_pad, dtype=np.float32)
+        # rows are sorted, so each block's edges are contiguous
+        src_offs = np.zeros(num_blocks + 1, dtype=np.int64)
+        np.cumsum(counts, out=src_offs[1:])
+        for b in range(num_blocks):
+            c = counts[b]
+            if c == 0:
+                continue
+            perm[offs[b] : offs[b] + c] = np.arange(
+                src_offs[b], src_offs[b] + c, dtype=np.int32
+            )
+            valid[offs[b] : offs[b] + c] = 1.0
+        rows_local = np.where(
+            valid > 0, rows[perm] - (rows[perm] // row_block) * row_block, 0
+        ).astype(np.int32)
+        cols_p = np.where(valid > 0, cols[perm], 0).astype(np.int32)
+        vals_p = (vals[perm] * valid).astype(np.float32)
+        tiles_per_block = padded // edge_tile
+        block_ids = np.repeat(np.arange(num_blocks, dtype=np.int32), tiles_per_block)
+        is_first = np.zeros(len(block_ids), dtype=np.int32)
+        first_idx = np.searchsorted(block_ids, np.unique(block_ids), side="left")
+        is_first[first_idx] = 1
+        return cls(
+            jnp.asarray(cols_p),
+            jnp.asarray(rows_local[None, :]),
+            jnp.asarray(vals_p[None, :]),
+            jnp.asarray(perm),
+            jnp.asarray(valid[None, :]),
+            jnp.asarray(block_ids),
+            jnp.asarray(is_first),
+            n_rows,
+            n_cols,
+            row_block,
+            num_blocks,
+            interpret,
+        )
+
+    def pad_vals(self, vals: jnp.ndarray) -> jnp.ndarray:
+        """Permute per-edge values (original row-sorted order) into the padded
+        layout — used for on-device dropout/augmented views."""
+        return (jnp.take(vals, self.perm) * self.valid[0])[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _padded_spmm(adj: PaddedCOO, x: jnp.ndarray, vals_padded: jnp.ndarray):
+    return _padded_spmm_fwd_impl(adj, x, vals_padded)
+
+
+def _padded_spmm_fwd_impl(adj, x, vals_padded):
+    from .pallas_kernels import weighted_segment_matmul
+
+    gathered = x.astype(jnp.bfloat16)[adj.cols]
+    out = weighted_segment_matmul(
+        gathered,
+        vals_padded,
+        adj.rows_local,
+        adj.block_ids,
+        adj.is_first,
+        adj.row_block,
+        adj.num_blocks,
+        interpret=adj.interpret,
+    )
+    return out[: adj.num_rows]
+
+
+def _padded_spmm_fwd(adj, x, vals_padded):
+    return _padded_spmm_fwd_impl(adj, x, vals_padded), (x, vals_padded)
+
+
+def _padded_spmm_bwd(adj, res, g):
+    x, vals_padded = res
+    # symmetric: d/dx (A x) contracted with g = A^T g = A g
+    gx = _padded_spmm_fwd_impl(adj, g, vals_padded)
+    # d/dvals[e] = g[row_e] · x[col_e]  (padded layout; padding rows get 0)
+    rows_global = (
+        jnp.repeat(adj.block_ids, adj.rows_local.shape[1] // adj.block_ids.shape[0])
+        * adj.row_block
+        + adj.rows_local[0]
+    )
+    gv = jnp.sum(g[rows_global] * x[adj.cols], axis=1) * adj.valid[0]
+    return gx, gv[None, :]
+
+
+_padded_spmm.defvjp(_padded_spmm_fwd, _padded_spmm_bwd)
