@@ -192,3 +192,26 @@ def test_padded_coo_rejects_asymmetric():
     coo = COO(rows, cols, vals, (2, 2))
     with pytest.raises(ValueError):
         PaddedCOO.from_host(coo, row_block=8, edge_tile=16)
+
+
+def test_joint_adj_backend_auto_prefers_pallas_on_tpu(tiny_conf, tiny_data, monkeypatch):
+    """auto → DenseJoint under the dense budget; past it, pallas on TPU and
+    plain COO elsewhere (models/base.py joint_adj)."""
+    import qrec_tpu.ops.spmm as spmm_mod
+    from qrec_tpu.models.graph import LightGCN
+    from qrec_tpu.ops.spmm import DenseJoint, DeviceCOO, PaddedCOO
+
+    tiny_conf.config["LightGCN"] = "-n_layer 2"
+
+    m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, DenseJoint)  # fits dense budget
+
+    monkeypatch.setattr(spmm_mod, "DENSE_JOINT_LIMIT", 0)
+    m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, DeviceCOO)  # CPU: COO past the budget
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, PaddedCOO)  # TPU: pallas past the budget
