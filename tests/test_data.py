@@ -150,3 +150,45 @@ def test_social_graph_cleaning():
     assert list(src) == [data.user["u1"]] and list(dst) == [data.user["u2"]]
     adj = social.scipy_adjacency()
     assert adj.shape == (2, 2) and adj.nnz == 1
+
+
+def test_load_relations_two_column_tab_file(tmp_path):
+    """lastfm trusts.txt shape: 2 tab-separated columns, implicit weight 1
+    (util/io.py:88-111; reference confs use `-columns 0 1` for it)."""
+    p = tmp_path / "trusts.txt"
+    p.write_text("2\t275\n2\t428\n")
+    conf = _conf()
+    rel = load_relations(conf, str(p))
+    assert rel == [["2", "275", 1.0], ["2", "428", 1.0]]
+
+
+def test_load_relations_three_column_weighted(tmp_path):
+    p = tmp_path / "trust.txt"
+    p.write_text("2 966 1\n2 104 1\n")
+    conf = ModelConf(
+        {
+            "ratings.setup": "-columns 0 1 2",
+            "evaluation.setup": "-ap 0.2",
+            "social.setup": "-columns 0 1 2",
+        }
+    )
+    rel = load_relations(conf, str(p))
+    assert rel == [["2", "966", 1.0], ["2", "104", 1.0]]
+
+
+def test_load_relations_missing_weight_column_errors(tmp_path):
+    """-columns 0 1 2 against a 2-column file must raise a clear
+    DataFormatError (the bug class behind the lastfm social confs)."""
+    from qrec_tpu.errors import DataFormatError
+
+    p = tmp_path / "trusts.txt"
+    p.write_text("2\t275\n")
+    conf = ModelConf(
+        {
+            "ratings.setup": "-columns 0 1 2",
+            "evaluation.setup": "-ap 0.2",
+            "social.setup": "-columns 0 1 2",
+        }
+    )
+    with pytest.raises(DataFormatError):
+        load_relations(conf, str(p))
