@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 from ..data.graph import joint_bipartite_coo
 from ..ops import losses as L
-from ..ops.spmm import lightgcn_propagate, spmm, subgraph_vals
+from ..ops.spmm import (
+    lightgcn_propagate,
+    spmm,
+    subgraph_vals,
+    view_adjacency,
+)
 from .base import GraphRecommender, TrainSpec
 
 
@@ -185,16 +190,15 @@ class SGL(GraphRecommender):
                 drop_rate, aug_type,
             )
 
+        # fixed symmetric structure, per-view values → pallas kernel on TPU
+        view_adj = view_adjacency(rows, cols, n_nodes, self.config)
+
         def encode_view(params, rng):
             ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
-            from ..ops.spmm import DeviceCOO
-
             acc, e = ego, ego
             for k in range(n_layers):
                 vals = view_vals(rng, k)
-                e = spmm(
-                    DeviceCOO(rows_d, cols_d, vals, n_nodes, n_nodes), e
-                )
+                e = spmm(view_adj, e, vals)
                 acc = acc + e
             out = acc / (n_layers + 1)
             return out[:nu], out[nu:]

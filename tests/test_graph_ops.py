@@ -215,3 +215,34 @@ def test_joint_adj_backend_auto_prefers_pallas_on_tpu(tiny_conf, tiny_data, monk
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     m = LightGCN(tiny_conf, tiny_data)
     assert isinstance(m.joint_adj, PaddedCOO)  # TPU: pallas past the budget
+
+
+def test_view_adjacency_pallas_matches_coo_on_subgraph_vals(tiny_data):
+    """The SGL/BUIR view path: per-view values computed in the
+    joint_bipartite_coo lexsorted order must permute correctly into the
+    PaddedCOO layout (models/graph.py encode_view)."""
+    import jax
+
+    from qrec_tpu.data.graph import COO, joint_bipartite_coo
+    from qrec_tpu.ops.spmm import PaddedCOO, renormalize_vals
+
+    rows, cols, edge_ids, n = joint_bipartite_coo(tiny_data)
+    n_edges = int(edge_ids.max()) + 1
+    keep = jax.random.bernoulli(jax.random.PRNGKey(0), 0.7, (n_edges,))
+    vals = renormalize_vals(
+        jnp.asarray(rows), jnp.asarray(cols),
+        keep[jnp.asarray(edge_ids)].astype(jnp.float32), n,
+    )
+    dev = DeviceCOO(
+        jnp.asarray(rows), jnp.asarray(cols),
+        jnp.ones(len(rows), jnp.float32), n, n,
+    )
+    padded = PaddedCOO.from_host(
+        COO(rows, cols, np.ones(len(rows), np.float32), (n, n)),
+        row_block=8, edge_tile=16, interpret=True, check_symmetric=False,
+    )
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    got = spmm(padded, x, vals)
+    want = spmm(dev, x, vals)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-2)
