@@ -414,6 +414,8 @@ class IterativeRecommender(Recommender):
         score_params_fn: Optional[Callable] = None,
         max_epoch: Optional[int] = None,
         log_every: int = 1,
+        tracker: Optional["T.BestTracker"] = None,
+        return_best: bool = True,
     ):
         """Train ``params`` and return the (best) final params.
 
@@ -437,9 +439,9 @@ class IterativeRecommender(Recommender):
 
         bold = T.BoldDriver(self.lrate, self.max_lrate) if mode == "bold" else None
         conv = T.ConvergenceMonitor() if mode == "bold" else None
-        tracker = T.BestTracker() if track_best else None
+        if tracker is None and track_best:
+            tracker = T.BestTracker()
         ranker = self._quick_ranker() if track_best else None
-        best_params = params
 
         params, _ = self._place(params)
         if self.mesh is not None:
@@ -465,20 +467,29 @@ class IterativeRecommender(Recommender):
                 metrics = T.quick_eval_metrics(
                     ranker, embedding_score_fn, sp, self._top_n
                 )
-                if tracker.update(epoch, metrics):
-                    best_params = params  # jnp arrays are immutable snapshots
+                if tracker.update(epoch + tracker.epoch_offset, metrics):
+                    # jnp arrays are immutable snapshots; stored on the
+                    # tracker so a shared tracker spans multi-phase fits
+                    tracker.best_params = params
             if conv is not None:
                 if conv.check(loss_val):
                     break
                 new_lr = bold.update(epoch + 1, loss_val)
                 bold.last_loss = loss_val
                 opt_state = _set_lr(opt_state, new_lr)
-        if tracker is not None and tracker.best_metrics is not None:
+        if tracker is not None:
+            tracker.epoch_offset += max_epoch
+        if (
+            return_best
+            and tracker is not None
+            and tracker.best_metrics is not None
+            and tracker.best_params is not None
+        ):
             print(
                 f"{self.model_name} {self.fold} best epoch {tracker.best_epoch}: "
                 + " | ".join(f"{k}:{v:.5f}" for k, v in tracker.best_metrics.items())
             )
-            return best_params
+            return tracker.best_params
         return params
 
 

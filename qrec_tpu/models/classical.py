@@ -189,7 +189,14 @@ class SlopeOne(Recommender):
 
 class EE(IterativeRecommender):
     """Euclidean embedding (EE.py:15-44):
-    r̂ = μ + b_u + b_i − ||p_u − q_i||²."""
+    r̂ = μ + b_u + b_i − ||p_u − q_i||².
+
+    Trains with Adam, mirroring the reference's SHIPPED configuration:
+    config/EE.conf sets ``-tf`` so the reference runs trainModel_tf
+    (EE.py:38-67, AdamOptimizer on the true gradient). The hand-SGD path
+    (EE.py:30-33) uses a non-gradient update (no factor 2, reg folded into
+    the error multiplier) whose true-gradient analogue diverges at the
+    shipped lr=0.02 — observed NaN by epoch 4 on FilmTrust."""
 
     def build(self):
         params = self.init_embeddings("uniform")
@@ -217,7 +224,7 @@ class EE(IterativeRecommender):
             )
 
         return TrainSpec(
-            params, loss_fn, self.rating_sampler(), mode="bold", track_best=False
+            params, loss_fn, self.rating_sampler(), mode="adam", track_best=False
         )
 
     def finalize(self, params, spec):

@@ -21,7 +21,13 @@ import scipy.sparse as sp
 
 from ..data.graph import COO, joint_bipartite_coo
 from ..ops import losses as L
-from ..ops.spmm import DeviceCOO, lightgcn_propagate, renormalize_vals, spmm
+from ..ops.spmm import (
+    DeviceCOO,
+    lightgcn_propagate,
+    renormalize_vals,
+    spmm,
+    view_adjacency,
+)
 from .base import GraphRecommender, SocialRecommender, TrainSpec
 
 
@@ -51,7 +57,13 @@ def _l2(*xs):
 
 
 def _l2n(x):
-    return x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+    """Row L2-normalize with TF semantics (tf.nn.l2_normalize): the epsilon
+    lives INSIDE the rsqrt, so an exactly-zero row (e.g. a node isolated by
+    edge/group dropout in SEPT's augmented view) has zero output AND zero
+    gradient. ``x / (linalg.norm(x) + eps)`` instead produces NaN gradients
+    at zero rows (d||x||/dx = x/||x||), which NaN'd SEPT's joint phase."""
+    sq = jnp.sum(x * x, axis=1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
 
 
 class MHCN(SocialRecommender, GraphRecommender):
@@ -356,6 +368,8 @@ class SEPT(SocialRecommender, GraphRecommender):
             vals = renormalize_vals(
                 c_rows, c_cols, keep[c_ids].astype(jnp.float32), n_nodes
             )
+            # stays DeviceCOO: the combined UI+directed-social structure is
+            # asymmetric, which the PaddedCOO kernel's shared-VJP cannot do
             aug_adj = DeviceCOO(c_rows, c_cols, vals, n_nodes, n_nodes)
             e = jnp.concatenate([params["user_emb"], params["item_emb"]])
             acc = e
@@ -388,10 +402,16 @@ class SEPT(SocialRecommender, GraphRecommender):
             aug_u = encode_aug(params, jax.random.fold_in(rng, 7))
             uu, um = L.unique_padded(u)
             aug_n = _l2n(aug_u[uu])
+            # the reference's batch-local matrices have exactly the unique
+            # users (dynamic shape, SEPT.py:220-255); our static-shape pad
+            # slots are copies of user 0, so pad COLUMNS must be excluded
+            # from label softmax, pseudo-label top-k, and the InfoNCE
+            # denominator or they hijack the positives
+            col_bias = jnp.where(um > 0, 0.0, -1e30)[None, :]
 
             def label_prob(view):
                 emb = _l2n(view[uu])
-                return jax.nn.softmax(emb @ aug_n.T, axis=1)
+                return jax.nn.softmax(emb @ aug_n.T + col_bias, axis=1)
 
             p_social = label_prob(friend)
             p_share = label_prob(share)
@@ -401,9 +421,7 @@ class SEPT(SocialRecommender, GraphRecommender):
                 emb = _l2n(view[uu])
                 pos_emb = aug_n[positive]  # (B, k, d)
                 pos_scores = jnp.sum(emb[:, None, :] * pos_emb, axis=2)
-                ttl = emb @ aug_n.T
-                # pad rows join the denominator as in the reference's
-                # dense-batch formulation; their loss rows are masked out
+                ttl = emb @ aug_n.T + col_bias
                 pos_sum = jnp.sum(jnp.exp(pos_scores / 0.1), axis=1)
                 ttl_sum = jnp.sum(jnp.exp(ttl / 0.1), axis=1)
                 return -jnp.sum(um * jnp.log(pos_sum / ttl_sum + 1e-12))
@@ -422,14 +440,23 @@ class SEPT(SocialRecommender, GraphRecommender):
 
         warm = max(1, int(self.max_epoch / 3))
         sampler = self.pairwise_sampler()
+        # one tracker across warm-up + joint phases: the reference keeps a
+        # single bestU/bestV over ALL epochs and restores it at the end
+        # (SEPT.py:282-310) — without this, a joint-phase collapse would
+        # discard a good warm-up epoch
+        from ..runtime import trainer as T
+
+        tracker = T.BestTracker()
         params = self.run_training(
             params, rec_loss_fn, sampler, mode="adam", track_best=True,
             score_params_fn=jax.jit(score_params), max_epoch=warm,
+            tracker=tracker, return_best=False,
         )
         params = self.run_training(
             params, joint_loss_fn, sampler, mode="adam", track_best=True,
             score_params_fn=jax.jit(score_params),
             max_epoch=max(1, self.max_epoch - warm),
+            tracker=tracker,
         )
         final = jax.jit(score_params)(params)
         self.U, self.V = final["user_emb"], final["item_emb"]
@@ -468,14 +495,16 @@ class BUIR(GraphRecommender):
         nu = self.num_users
         n_layers, tau, drop_rate = self.n_layers, self.tau, self.drop_rate
 
+        # fixed symmetric structure, per-view values → pallas kernel on TPU
+        view_adj = view_adjacency(rows, cols, n_nodes, self.config)
+
         def dropped_propagate(emb_u, emb_i, rng):
             keep = jax.random.bernoulli(rng, 1.0 - drop_rate, (n_edges,))
             vals = renormalize_vals(
                 rows_d, cols_d, keep[ids_d].astype(jnp.float32), n_nodes
             )
-            sub = DeviceCOO(rows_d, cols_d, vals, n_nodes, n_nodes)
             e = jnp.concatenate([emb_u, emb_i])
-            return lightgcn_propagate(sub, e, n_layers)
+            return lightgcn_propagate(view_adj, e, n_layers, vals)
 
         def linear(params, e):
             return jnp.tanh(e @ params["W"] + params["b"])

@@ -66,8 +66,14 @@ def masked_infonce(
 ) -> jnp.ndarray:
     """InfoNCE over L2-normalized aligned views where pad rows neither
     contribute positives nor appear as negatives."""
-    view1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
-    view2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
+    # TF l2_normalize semantics: eps inside rsqrt → zero rows get zero
+    # output and zero gradient (plain norm+eps division NaNs at zero rows)
+    view1 = view1 * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(view1 * view1, axis=1, keepdims=True), 1e-12)
+    )
+    view2 = view2 * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(view2 * view2, axis=1, keepdims=True), 1e-12)
+    )
     logits = (
         jnp.dot(view1, view2.T, preferred_element_type=jnp.float32)
         / temperature

@@ -86,6 +86,12 @@ class BestTracker:
     def __init__(self):
         self.best_epoch: Optional[int] = None
         self.best_metrics: Optional[Dict[str, float]] = None
+        # snapshot of the winning params, set by the training loop; lives on
+        # the tracker so multi-phase fits (SEPT warm-up → joint) can share
+        # one tracker and restore the best across ALL epochs, matching the
+        # reference's single bestU/bestV (SGL.py:281, SEPT.py:282-310)
+        self.best_params = None
+        self.epoch_offset = 0  # cumulative epochs from earlier phases
 
     def update(self, epoch: int, metrics: Dict[str, float]) -> bool:
         if self.best_metrics is None:

@@ -84,3 +84,38 @@ def test_social_graph_models(tmp_path, name, extra, floor):
     measure = QRec(conf, seed=3).execute()
     parsed = parse_measure(measure)
     assert parsed["Top 10"]["Recall"] > floor, (name, parsed)
+
+
+def test_l2n_zero_row_has_finite_gradient():
+    """SEPT's augmented view isolates nodes (zero propagated rows); the
+    TF-style l2_normalize must give finite (zero) gradients there — the
+    norm+eps form NaN'd SEPT's whole joint phase (SEPT.py:282-310)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qrec_tpu.models.social_graph import _l2n
+
+    x = jnp.array([[0.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
+
+    def f(x):
+        return jnp.sum(_l2n(x) * jnp.ones_like(x))
+
+    g = jax.grad(f)(x)
+    # finite (TF gives rsqrt(eps)*cotangent at zero rows — large but finite;
+    # the old norm+eps form gave NaN). Adam absorbs the magnitude.
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # nonzero row normalizes to unit norm
+    assert float(jnp.linalg.norm(_l2n(x)[1])) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_masked_infonce_zero_row_grad_finite():
+    import jax
+    import jax.numpy as jnp
+
+    from qrec_tpu.ops import losses as L
+
+    v1 = jnp.array([[0.0, 0.0], [1.0, 0.5], [0.3, -0.2]])
+    v2 = jnp.array([[0.1, 0.2], [0.0, 0.0], [0.5, 0.5]])
+    mask = jnp.array([1.0, 1.0, 1.0])
+    g = jax.grad(lambda a: L.masked_infonce(a, v2, mask, 0.2))(v1)
+    assert bool(jnp.all(jnp.isfinite(g)))
