@@ -258,6 +258,9 @@ class PaddedCOO(NamedTuple):
         vals = np.asarray(coo.vals)
         n_rows, n_cols = int(coo.shape[0]), int(coo.shape[1])
         assert n_rows == n_cols, "PaddedCOO requires a square (symmetric) matrix"
+        # the per-block contiguity below assumes row-sorted edges; O(E) host
+        # check once per graph (silently wrong perm otherwise)
+        assert np.all(np.diff(rows) >= 0), "PaddedCOO requires row-sorted edges"
         if check_symmetric:
             import scipy.sparse as _sp
 
@@ -267,8 +270,11 @@ class PaddedCOO(NamedTuple):
         num_blocks = max(1, -(-n_rows // row_block))
         blk = rows // row_block
         counts = np.bincount(blk, minlength=num_blocks)
-        padded = np.maximum(-(-counts // edge_tile), (counts > 0)) * edge_tile
-        # keep empty blocks out of the tile list entirely
+        # every block gets >= 1 tile: a block with no tiles would never be
+        # visited by the kernel grid, leaving its output rows UNINITIALIZED
+        # (Pallas does not zero output buffers; the is_first zero-init only
+        # runs on visited blocks). An all-padding tile costs one zero matmul.
+        padded = np.maximum(-(-counts // edge_tile), 1) * edge_tile
         offs = np.zeros(num_blocks + 1, dtype=np.int64)
         np.cumsum(padded, out=offs[1:])
         e_pad = int(offs[-1])
@@ -378,8 +384,11 @@ def view_adjacency(rows, cols, n_nodes: int, config=None):
     # edges XLA's scatter is already sub-ms and the extra Mosaic compiles
     # (~30-60 s through the remote-compile tunnel) dominate any win
     big = len(rows) >= VIEW_PALLAS_MIN_EDGES
-    use_pallas = backend == "pallas" or (backend == "auto" and big)
-    if use_pallas and jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    # auto requires TPU; an explicit backend=pallas is honored everywhere
+    # (interpret mode off-TPU), mirroring GraphRecommender.joint_adj
+    use_pallas = backend == "pallas" or (backend == "auto" and big and on_tpu)
+    if use_pallas:
         from ..data.graph import COO
 
         return PaddedCOO.from_host(
@@ -389,6 +398,7 @@ def view_adjacency(rows, cols, n_nodes: int, config=None):
                 ones,
                 (n_nodes, n_nodes),
             ),
+            interpret=not on_tpu,
             check_symmetric=False,
         )
     return DeviceCOO(

@@ -86,14 +86,8 @@ def main():
     bench(PaddedCOO.from_host(coo, check_symmetric=False), x, "PaddedCOO pallas")
 
     # dense joint for comparison (bipartite two-matmul equivalent)
-    import scipy.sparse as _sp
-
     m = coo.to_scipy()[: 19539, 19539:]
     r = jnp.asarray(m.toarray(), dtype=jnp.bfloat16)
-    rt = r.T
-
-    class _DJ:
-        pass
 
     from qrec_tpu.ops.spmm import DenseJoint
 

@@ -183,6 +183,40 @@ def test_padded_coo_grad_vals_override(tiny_data):
     assert np.allclose(np.asarray(g_pallas), np.asarray(g_coo), atol=2e-2)
 
 
+def test_padded_coo_empty_row_blocks_get_a_tile():
+    """A row block with no edges must still be visited by the kernel grid:
+    Pallas output buffers are NOT zero-initialized, so an unvisited block
+    would return garbage rows on real TPU. Every block gets >= 1 (all-pad)
+    tile and its rows come back exactly zero."""
+    from qrec_tpu.ops.spmm import PaddedCOO
+
+    # 32 nodes, edges only within {0..7} and {24..31} → blocks 1,2 empty
+    rows = np.array([0, 1, 24, 25], dtype=np.int32)
+    cols = np.array([1, 0, 25, 24], dtype=np.int32)
+    vals = np.ones(4, dtype=np.float32)
+    coo = COO(rows, cols, vals, (32, 32))
+    padded = PaddedCOO.from_host(coo, row_block=8, edge_tile=16, interpret=True)
+    # all 4 blocks appear in the tile list, each with its is_first marker
+    assert sorted(set(np.asarray(padded.block_ids))) == [0, 1, 2, 3]
+    assert int(np.asarray(padded.is_first).sum()) == 4
+    x = jnp.asarray(np.random.RandomState(0).randn(32, 8).astype(np.float32))
+    out = np.asarray(spmm(padded, x))
+    assert np.all(out[8:24] == 0.0)
+    want = np.asarray(spmm(DeviceCOO.from_host(coo), x))
+    assert np.allclose(out, want, atol=2e-2)
+
+
+def test_padded_coo_rejects_unsorted_rows():
+    from qrec_tpu.ops.spmm import PaddedCOO
+
+    rows = np.array([1, 0], dtype=np.int32)
+    cols = np.array([0, 1], dtype=np.int32)
+    vals = np.ones(2, dtype=np.float32)
+    coo = COO(rows, cols, vals, (2, 2))
+    with pytest.raises(AssertionError):
+        PaddedCOO.from_host(coo, row_block=8, edge_tile=16, check_symmetric=False)
+
+
 def test_padded_coo_rejects_asymmetric():
     from qrec_tpu.ops.spmm import PaddedCOO
 
