@@ -119,12 +119,42 @@ def main():
     spec = model.build()
 
     backend = jax.default_backend()
-    dt_dev, _ = time_epochs(model, spec, args.epochs)
+    dt_dev, params_final = time_epochs(model, spec, args.epochs)
     eps_dev = n_train / dt_dev
     if not args.json_only:
         print(
             f"[bench] LightGCN lastfm epoch on {backend}: {dt_dev * 1e3:.1f} ms "
             f"({eps_dev:,.0f} examples/s)",
+            file=sys.stderr,
+        )
+
+    # ---- full-catalog top-k eval throughput (BASELINE.json names it) ----
+    # one jitted device pass over all test users: (B, I) MXU score blocks,
+    # rated-item masking, lax.top_k — replaces the reference's per-user
+    # Python loop + numba heap (base/recommender.py:143-160)
+    from qrec_tpu.ops.topk import CatalogRanker, embedding_score_fn
+
+    ranker = CatalogRanker(data, k=10, batch_size=1024)
+    sp = (
+        spec.score_params_fn(params_final)
+        if spec.score_params_fn is not None
+        else params_final
+    )
+    ids, _ = ranker.topk_device(embedding_score_fn, sp)  # compile warm-up
+    jax.block_until_ready(ids)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        ids, _ = ranker.topk_device(embedding_score_fn, sp)
+    jax.block_until_ready(ids)
+    eval_s = (time.perf_counter() - t0) / reps
+    n_test_users = len(ranker.names)
+    eval_items_per_sec = n_test_users * data.num_items / eval_s
+    if not args.json_only:
+        print(
+            f"[bench] full-catalog top-10 eval: {eval_s * 1e3:.1f} ms for "
+            f"{n_test_users} users x {data.num_items} items "
+            f"({eval_items_per_sec:,.0f} scored items/s)",
             file=sys.stderr,
         )
 
@@ -155,7 +185,16 @@ def main():
                 "metric": "lightgcn_lastfm_train_examples_per_sec_per_chip",
                 "value": round(eps_dev, 1),
                 "unit": "examples/s",
+                # same jitted program on the host-CPU backend (COO path) —
+                # a LOWER BOUND stand-in for the TF1-CPU reference class,
+                # which is not installable here (BASELINE.md)
                 "vs_baseline": None if vs_baseline != vs_baseline else round(vs_baseline, 2),
+                "extra": {
+                    "epoch_ms": round(dt_dev * 1e3, 2),
+                    "eval_topk_items_per_sec": round(eval_items_per_sec, 0),
+                    "eval_ms_all_test_users": round(eval_s * 1e3, 2),
+                    "backend": backend,
+                },
             }
         )
     )

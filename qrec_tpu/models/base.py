@@ -324,8 +324,13 @@ class IterativeRecommender(Recommender):
             elif n_dev > 1 and jax.default_backend() == "tpu":
                 enabled = True
             if enabled and n_dev > 1:
-                from ..parallel.mesh import make_mesh, shardings
+                from ..parallel.mesh import (
+                    make_mesh,
+                    maybe_initialize_distributed,
+                    shardings,
+                )
 
+                maybe_initialize_distributed(self.config)
                 self._mesh = make_mesh(model_parallel=model_par)
                 self._shardings = shardings(self._mesh)
         return self._mesh
@@ -363,7 +368,7 @@ class IterativeRecommender(Recommender):
                 n = 10
             self._top_n = n
             self._ranker = CatalogRanker(
-                self.data, k=n, batch_size=self.eval_batch_size
+                self.data, k=n, batch_size=self.eval_batch_size, mesh=self.mesh
             )
         return self._ranker
 
@@ -392,6 +397,9 @@ class IterativeRecommender(Recommender):
 
     def fit(self) -> None:
         spec = self.build()
+        rating_eval = None
+        if not self.ranking.isMainOn() and len(self.data.test_data) > 0:
+            rating_eval = lambda p: self._quick_rating_metrics(p, spec)  # noqa: E731
         params = self.run_training(
             spec.params,
             spec.loss_fn,
@@ -399,8 +407,31 @@ class IterativeRecommender(Recommender):
             mode=spec.mode,
             track_best=spec.track_best,
             score_params_fn=spec.score_params_fn,
+            rating_eval=rating_eval,
         )
         self.finalize(params, spec)
+
+    def _quick_rating_metrics(self, params, spec: "TrainSpec"):
+        """Per-epoch MAE/RMSE display for rating models — the reference
+        prints these alongside the loss each epoch
+        (base/iterativeRecommender.py:91-94). Maps in-flight params onto the
+        model's predict attributes via ``finalize`` (overwritten again at the
+        end of training), then scores the test records."""
+        if not hasattr(self, "_quick_rating_data"):
+            self._quick_rating_data = (
+                [e[0] for e in self.data.test_data],
+                [e[1] for e in self.data.test_data],
+                np.asarray([float(e[2]) for e in self.data.test_data]),
+            )
+        users, items, truth = self._quick_rating_data
+        self.finalize(params, spec)
+        preds = np.asarray(self.predict_ratings(users, items), dtype=np.float64)
+        lo, hi = self.data.r_scale[0], self.data.r_scale[-1]
+        preds = np.clip(preds, lo, hi)
+        err = preds - truth
+        mae = float(np.mean(np.abs(err)))
+        rmse = float(np.sqrt(np.mean(err**2)))
+        return {"MAE": mae, "RMSE": rmse}
 
     # -- the shared loop --------------------------------------------------
     def run_training(
@@ -416,6 +447,7 @@ class IterativeRecommender(Recommender):
         log_every: int = 1,
         tracker: Optional["T.BestTracker"] = None,
         return_best: bool = True,
+        rating_eval: Optional[Callable] = None,
     ):
         """Train ``params`` and return the (best) final params.
 
@@ -424,6 +456,15 @@ class IterativeRecommender(Recommender):
         ``|Δloss|<1e-3`` convergence rule (the NumPy-SGD family).
         ``score_params_fn(params)`` maps trainable params to catalog-scorer
         params (e.g. graph propagation) for per-epoch quick evaluation.
+        ``rating_eval(params)`` returns a per-epoch metric dict displayed on
+        the epoch line (rating models: MAE/RMSE —
+        base/iterativeRecommender.py:91-94).
+
+        Checkpoint/resume (``checkpoint.setup=on -dir D -every N``): params +
+        optimizer state + LR schedule are saved every N epochs and restored
+        on start, resuming mid-run after preemption. The RNG stream is
+        fast-forwarded so a resumed run is bit-identical to an uninterrupted
+        one.
         """
         max_epoch = max_epoch or self.max_epoch
         if mode == "adam":
@@ -447,18 +488,78 @@ class IterativeRecommender(Recommender):
         if self.mesh is not None:
             opt_state = optimizer.init(params)  # re-init on sharded params
 
+        # -- checkpoint/resume (runtime/checkpoint.py; SURVEY §5) ----------
+        from ..runtime import checkpoint as C
+        from ..runtime.profiling import StepTimer
+
+        if not hasattr(self, "_epochs_done"):
+            self._epochs_done = 0  # cumulative across multi-phase fits
+        if not hasattr(self, "_checkpointer"):
+            self._checkpointer = C.from_config(self.config)
+            self._ckpt_every = C.checkpoint_every(self.config)
+        ckpt = self._checkpointer
+        start_epoch = 0
+        if ckpt is not None:
+            latest = ckpt.latest_step()
+            if latest is not None and latest > self._epochs_done:
+                start_epoch = min(latest - self._epochs_done, max_epoch)
+                state = ckpt.restore(
+                    latest,
+                    template={
+                        "params": params,
+                        "opt_state": opt_state,
+                        # host-side LR schedule scalars: float64 numpy so the
+                        # bold-driver's double-precision host arithmetic
+                        # resumes bit-identically
+                        "lr": np.zeros((), np.float64),
+                        "bold_last": np.zeros((), np.float64),
+                        "conv_last": np.zeros((), np.float64),
+                    },
+                )
+                params = state["params"]
+                opt_state = state["opt_state"]
+                if bold is not None:
+                    bold.lr = float(state["lr"])
+                    bold.last_loss = float(state["bold_last"])
+                    conv.last_loss = float(state["conv_last"])
+                    opt_state = _set_lr(opt_state, bold.lr)
+                print(
+                    f"{self.model_name} {self.fold} resumed from checkpoint "
+                    f"step {latest} (epoch {start_epoch}/{max_epoch})"
+                )
+
         rng = jax.random.PRNGKey(self.seed + 1)
-        for epoch in range(max_epoch):
-            rng, rng_samp, rng_step = jax.random.split(rng, 3)
-            batches = sampler(rng_samp)
-            _, batches = self._place(None, batches)
-            params, opt_state, loss = run_epoch(params, opt_state, batches, rng_step)
-            loss_val = float(loss)
+        # fast-forward the per-epoch RNG stream so a resumed run samples the
+        # exact batches an uninterrupted run would have
+        for _ in range(start_epoch):
+            rng, _, _ = jax.random.split(rng, 3)
+
+        timer = StepTimer(examples_per_epoch=self.train_size)
+        self._last_timer = timer
+        epochs_run = start_epoch
+        for epoch in range(start_epoch, max_epoch):
+            epochs_run = epoch + 1
+            with timer:
+                rng, rng_samp, rng_step = jax.random.split(rng, 3)
+                batches = sampler(rng_samp)
+                _, batches = self._place(None, batches)
+                params, opt_state, loss = run_epoch(
+                    params, opt_state, batches, rng_step
+                )
+                loss_val = float(loss)
             lr = bold.lr if bold else self.lrate
             if (epoch + 1) % log_every == 0 or epoch == max_epoch - 1:
+                extra = ""
+                if rating_eval is not None:
+                    rm = rating_eval(params)
+                    extra = " " + " ".join(
+                        f"{k}:{v:.5f}" for k, v in rm.items()
+                    )
+                eps = self.train_size / timer.last if timer.last > 0 else 0.0
                 print(
                     f"{self.model_name} {self.fold} epoch {epoch + 1}: "
-                    f"loss = {loss_val:.4f} learning_rate = {lr:.5f}"
+                    f"loss = {loss_val:.4f} learning_rate = {lr:.5f}{extra} "
+                    f"[{timer.last * 1e3:.1f} ms, {eps:,.0f} ex/s]"
                 )
             if tracker is not None and ranker is not None:
                 sp = score_params_fn(params) if score_params_fn else None
@@ -477,8 +578,33 @@ class IterativeRecommender(Recommender):
                 new_lr = bold.update(epoch + 1, loss_val)
                 bold.last_loss = loss_val
                 opt_state = _set_lr(opt_state, new_lr)
+            # save AFTER the LR/convergence update so a restored run picks up
+            # exactly where the uninterrupted one would have (bit-identical)
+            if (
+                ckpt is not None
+                and self._ckpt_every > 0
+                and (epoch + 1) % self._ckpt_every == 0
+            ):
+                ckpt.save(
+                    self._epochs_done + epoch + 1,
+                    {
+                        "params": params,
+                        "opt_state": opt_state,
+                        "lr": np.asarray(
+                            bold.lr if bold else self.lrate, dtype=np.float64
+                        ),
+                        "bold_last": np.asarray(
+                            bold.last_loss if bold else 0.0, dtype=np.float64
+                        ),
+                        "conv_last": np.asarray(
+                            conv.last_loss if conv else 0.0, dtype=np.float64
+                        ),
+                    },
+                )
         if tracker is not None:
-            tracker.epoch_offset += max_epoch
+            # actual epochs executed (bold-mode convergence can break early);
+            # max_epoch here would skew best_epoch for shared trackers
+            tracker.epoch_offset += epochs_run
         if (
             return_best
             and tracker is not None
@@ -526,6 +652,19 @@ class GraphRecommender(IterativeRecommender):
             )
 
             backend = self.config.get("graph.backend", "auto")
+            # Mesh policy: the Pallas scatter kernel runs per-device and is
+            # not GSPMD-partitionable — under an active mesh the joint
+            # adjacency stays on the XLA paths (DenseJoint is replicated as
+            # a jit constant and its matmuls partition; DeviceCOO's gather +
+            # segment_sum partition natively). An explicit pallas request is
+            # downgraded with a notice rather than silently honored.
+            if self.mesh is not None and backend == "pallas":
+                print(
+                    "graph.backend=pallas is single-device only; using 'auto'"
+                    " under the active device mesh"
+                )
+                backend = "auto"
+            on_mesh = self.mesh is not None
             # entry budget for the dense-bipartite path, overridable for
             # smaller HBM budgets (or to force the sparse path on big hosts)
             try:
@@ -543,6 +682,10 @@ class GraphRecommender(IterativeRecommender):
             on_tpu = jax.default_backend() == "tpu"
             if backend == "dense" or (backend == "auto" and dense_ok):
                 self._joint_adj = DenseJoint.from_interactions(self.data)
+            elif backend == "auto" and on_mesh:
+                self._joint_adj = DeviceCOO.from_host(
+                    joint_normalized_adjacency(self.data)
+                )
             elif backend == "pallas" or (backend == "auto" and on_tpu):
                 # Past the dense budget, the one-hot MXU scatter kernel beats
                 # XLA's segment_sum ~17x on v5e — make it the TPU default.

@@ -191,7 +191,7 @@ class SGL(GraphRecommender):
             )
 
         # fixed symmetric structure, per-view values → pallas kernel on TPU
-        view_adj = view_adjacency(rows, cols, n_nodes, self.config)
+        view_adj = view_adjacency(rows, cols, n_nodes, self.config, self.mesh)
 
         def encode_view(params, rng):
             ego = jnp.concatenate([params["user_emb"], params["item_emb"]])

@@ -496,7 +496,7 @@ class BUIR(GraphRecommender):
         n_layers, tau, drop_rate = self.n_layers, self.tau, self.drop_rate
 
         # fixed symmetric structure, per-view values → pallas kernel on TPU
-        view_adj = view_adjacency(rows, cols, n_nodes, self.config)
+        view_adj = view_adjacency(rows, cols, n_nodes, self.config, self.mesh)
 
         def dropped_propagate(emb_u, emb_i, rng):
             keep = jax.random.bernoulli(rng, 1.0 - drop_rate, (n_edges,))

@@ -365,7 +365,7 @@ def _padded_spmm_bwd(adj, res, g):
 _padded_spmm.defvjp(_padded_spmm_fwd, _padded_spmm_bwd)
 
 
-def view_adjacency(rows, cols, n_nodes: int, config=None):
+def view_adjacency(rows, cols, n_nodes: int, config=None, mesh=None):
     """Adjacency backend for per-edge-value *views* (SGL/BUIR dropout
     subgraphs): the structure is fixed, the values change every step, so the
     stored vals here are placeholders — callers always pass ``vals`` to
@@ -380,6 +380,22 @@ def view_adjacency(rows, cols, n_nodes: int, config=None):
     """
     backend = config.get("graph.backend", "auto") if config is not None else "auto"
     ones = np.ones(len(rows), dtype=np.float32)
+    if mesh is not None:
+        # Pallas kernels are single-device; under an active mesh the view
+        # path stays on DeviceCOO, whose gather + segment_sum partition
+        # under GSPMD (same policy as GraphRecommender.joint_adj)
+        if backend == "pallas":
+            print(
+                "graph.backend=pallas is single-device only; view adjacency"
+                " uses the COO path under the active device mesh"
+            )
+        return DeviceCOO(
+            jnp.asarray(rows, dtype=jnp.int32),
+            jnp.asarray(cols, dtype=jnp.int32),
+            jnp.asarray(ones),
+            n_nodes,
+            n_nodes,
+        )
     # auto only flips to the kernel for big graphs: below ~400k directed
     # edges XLA's scatter is already sub-ms and the extra Mosaic compiles
     # (~30-60 s through the remote-compile tunnel) dominate any win

@@ -84,10 +84,14 @@ class CatalogRanker:
         k: int,
         batch_size: int = 1024,
         mask_value: float = 0.0,
+        mesh=None,
     ):
         self.data = data
         self.k = int(k)
         self.mask_value = float(mask_value)
+        # active ('data','model') mesh → plain-embedding scorers ride the
+        # item-sharded shard_map top-k (parallel/topk.sharded_masked_topk)
+        self.mesh = mesh
         ev = data.test_eval_arrays()
         self.names = ev["names"]
         self.uids = ev["uids"]
@@ -111,6 +115,8 @@ class CatalogRanker:
 
     def topk(self, score_fn: Callable, params) -> Tuple[np.ndarray, np.ndarray]:
         """Return (ids, scores) of shape (num_test_users, k)."""
+        if self.mesh is not None and score_fn is embedding_score_fn:
+            return self.topk_sharded(params)
         b = len(self.names)
         num_items = self.data.num_items
         ids_out = np.empty((b, self.k), dtype=np.int32)
@@ -170,6 +176,68 @@ class CatalogRanker:
             self.mask_value,
         )
         return ids.reshape(padded, self.k)[:b], scores.reshape(padded, self.k)[:b]
+
+
+    def topk_sharded(self, params) -> Tuple[np.ndarray, np.ndarray]:
+        """Item-sharded full-catalog top-k over the active mesh: the item
+        table is row-sharded over 'model', each shard scores + masks + local
+        top-k's its slice, and an all_gather merges k candidates per shard
+        (parallel/topk.sharded_masked_topk). Semantics identical to
+        :meth:`topk` — the catalog-sharding analogue of context parallelism
+        (replaces base/recommender.py:143-160 at pod scale)."""
+        import jax
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.topk import sharded_masked_topk
+
+        mesh = self.mesh
+        shards = mesh.shape[MODEL_AXIS]
+        num_items = self.data.num_items
+        i_pad = ((num_items + shards - 1) // shards) * shards
+        item_emb = params["item_emb"]
+        if i_pad != num_items:
+            item_emb = jnp.zeros(
+                (i_pad, item_emb.shape[1]), item_emb.dtype
+            ).at[:num_items].set(item_emb)
+        item_emb = jax.device_put(
+            item_emb, NamedSharding(mesh, P(MODEL_AXIS, None))
+        )
+        user_emb = params["user_emb"]
+        gm = float(self.global_mean)
+
+        b = len(self.names)
+        bs = self.batch_size
+        ids_out = np.empty((b, self.k), dtype=np.int32)
+        scores_out = np.empty((b, self.k), dtype=np.float32)
+        repl = NamedSharding(mesh, P())
+        for start in range(0, b, bs):
+            end = min(start + bs, b)
+            pad = bs - (end - start)
+            uids = np.pad(self.uids[start:end], (0, pad), constant_values=-1)
+            rated = np.pad(
+                self.rated_pad[start:end],
+                ((0, pad), (0, 0)),
+                constant_values=num_items,
+            )
+            u_block = jax.device_put(
+                user_emb[jnp.asarray(np.maximum(uids, 0))], repl
+            )
+            ids, scores = sharded_masked_topk(
+                mesh,
+                u_block,
+                item_emb,
+                jax.device_put(jnp.asarray(rated), repl),
+                jax.device_put(jnp.asarray(uids < 0), repl),
+                gm,
+                num_items,
+                self.k,
+                self.mask_value,
+            )
+            ids_out[start:end] = np.asarray(ids)[: end - start]
+            scores_out[start:end] = np.asarray(scores)[: end - start]
+        return ids_out, scores_out
 
 
 def embedding_score_fn(params, uids):

@@ -12,8 +12,9 @@ one 2-D logical mesh ``('data', 'model')`` —
   shard_map top-k merge (parallel/topk.py) — the structural analogue of
   sequence/context parallelism for this workload.
 
-Multi-host: call ``jax.distributed.initialize`` before building the mesh;
-the same code then spans DCN-connected hosts.
+Multi-host: :func:`maybe_initialize_distributed` (env-gated
+``jax.distributed.initialize``) runs before the mesh is built; the same code
+then spans DCN-connected hosts.
 """
 
 from __future__ import annotations
@@ -27,6 +28,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+_distributed_initialized = False
+
+
+def maybe_initialize_distributed(conf=None) -> bool:
+    """Env-gated multi-host initialization (DCN): call once per process
+    before building a mesh; the same mesh/sharding code then spans hosts.
+
+    Activates when ``QREC_COORDINATOR`` is set (value =
+    ``<coordinator_address>``) together with ``QREC_NUM_PROCESSES`` and
+    ``QREC_PROCESS_ID``, or when JAX's own ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env triplet is present (then
+    ``jax.distributed.initialize()`` reads them itself). Returns True when
+    initialization ran (idempotent — safe to call per fold).
+
+    Launcher sketch (one process per host)::
+
+        QREC_COORDINATOR=host0:8476 QREC_NUM_PROCESSES=2 \\
+        QREC_PROCESS_ID=$i python main.py config/LightGCN.conf
+
+    The reference has no multi-host story (SURVEY §2.8); this is the DCN
+    commitment from the build plan (SURVEY §7.3).
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    import os
+
+    coord = os.environ.get("QREC_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["QREC_NUM_PROCESSES"]),
+            process_id=int(os.environ["QREC_PROCESS_ID"]),
+        )
+        _distributed_initialized = True
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        _distributed_initialized = True
+        return True
+    return False
 
 
 def make_mesh(

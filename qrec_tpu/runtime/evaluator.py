@@ -49,7 +49,10 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
     output = conf.options("output.setup")
 
     ranker = CatalogRanker(
-        data, k=n, batch_size=getattr(model, "eval_batch_size", 1024)
+        data,
+        k=n,
+        batch_size=getattr(model, "eval_batch_size", 1024),
+        mesh=getattr(model, "mesh", None),
     )
     # eval.backend=pallas uses the fused masked-scorer kernel for plain
     # embedding models (needs final U/V and the packed rated bitmask)

@@ -25,6 +25,58 @@ from ..models import get_model
 from . import evaluator
 
 
+def run_fold(
+    config: ModelConf, train, test, relation, fold: str, seed: int
+) -> List[str]:
+    """Train + evaluate one fold. Module-level (picklable) so parallel CV
+    workers can execute it in a spawned process (reference: the ``run``
+    function pickled into each fold process, QRec.py:113-118)."""
+    model_cls = get_model(config["model.name"])
+    data = Interactions(config, train, test, seed=seed)
+    social = None
+    if model_cls.requires_social:
+        if relation is None:
+            raise ConfigError(
+                f"model {config['model.name']} requires a 'social' "
+                "relation file in the config"
+            )
+        social = SocialGraph(relation, data)
+    model = model_cls(config, data, social=social, fold=fold)
+    log = Log(model.model_name, model.model_name + fold + " " + timestamp())
+    log.add("### model configuration ###")
+    for k in config:
+        log.add(k + "=" + config[k])
+    if fold == "[1]":
+        model.print_config()
+    print(f"Building Model {fold}...")
+    model.fit()
+    timer = getattr(model, "_last_timer", None)
+    if timer is not None and timer.times:
+        s = timer.summary()
+        log.add(
+            "### training throughput ###\n"
+            f"epochs={int(s['epochs'])} "
+            f"epoch_seconds={s['epoch_seconds']:.4f} "
+            f"examples_per_second={s['examples_per_second']:.0f}"
+        )
+    print(f"Predicting {fold}...")
+    measure = evaluator.evaluate(model, data, config, fold, log)
+    return measure, model
+
+
+def _cv_fold_worker(conf_dict, train, test, relation, fold, seed, order, out_q):
+    """Spawned-process CV fold entry: pins the child to the CPU backend
+    (parallel folds are CPU-only — a single TPU cannot be shared) and ships
+    the measure strings back through the queue."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ..config import ModelConf as _MC
+
+    measure, _ = run_fold(_MC(conf_dict), train, test, relation, fold, seed)
+    out_q.put((order, measure))
+
+
 class QRec:
     def __init__(self, config: ModelConf, seed: int = 0):
         self.config = config
@@ -84,31 +136,45 @@ class QRec:
 
     # ------------------------------------------------------------------
     def _run_fold(self, train, test, fold: str) -> List[str]:
-        model_cls = get_model(self.config["model.name"])
-        data = Interactions(self.config, train, test, seed=self.seed)
-        social = None
-        if model_cls.requires_social:
-            if self.relation is None:
-                raise ConfigError(
-                    f"model {self.config['model.name']} requires a 'social' "
-                    "relation file in the config"
-                )
-            social = SocialGraph(self.relation, data)
-        model = model_cls(self.config, data, social=social, fold=fold)
-        log = Log(
-            model.model_name, model.model_name + fold + " " + timestamp()
+        measure, model = run_fold(
+            self.config, train, test, self.relation, fold, self.seed
         )
-        log.add("### model configuration ###")
-        for k in self.config:
-            log.add(k + "=" + self.config[k])
-        if fold == "[1]":
-            model.print_config()
-        print(f"Building Model {fold}...")
-        model.fit()
-        print(f"Predicting {fold}...")
-        measure = evaluator.evaluate(model, data, self.config, fold, log)
         self.model = model
         return measure
+
+    def _run_folds_parallel(self, folds) -> List[List[str]]:
+        """Concurrent fold execution (``evaluation.setup ... -p``,
+        QRec.py:82-89): one spawned OS process per fold, CPU backend.
+        Results come back order-keyed through a queue, like the reference's
+        Manager().dict() keyed by fold index (QRec.py:64-65,118)."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        out_q = ctx.Queue()
+        procs = []
+        for i, (train, test) in enumerate(folds):
+            p = ctx.Process(
+                target=_cv_fold_worker,
+                args=(
+                    dict(self.config.config),
+                    train,
+                    test,
+                    self.relation,
+                    f"[{i + 1}]",
+                    self.seed,
+                    i,
+                    out_q,
+                ),
+            )
+            p.start()
+            procs.append(p)
+        results = {}
+        for _ in procs:
+            order, measure = out_q.get()
+            results[order] = measure
+        for p in procs:
+            p.join()
+        return [results[i] for i in range(len(folds))]
 
     def execute(self) -> List[str]:
         if self.evaluation.contains("-cv"):
@@ -117,11 +183,27 @@ class QRec:
                 raise EvaluationError(
                     "k for cross-validation should be between 2 and 10"
                 )
-            fold_measures = []
-            for i, (train, test) in enumerate(
+            folds = list(
                 cross_validation(self.training_data, k, binarized=self.binarized)
-            ):
-                fold_measures.append(self._run_fold(train, test, f"[{i + 1}]"))
+            )
+            parallel = self.evaluation.contains("-p")
+            if parallel:
+                import jax
+
+                if jax.default_backend() != "cpu":
+                    print(
+                        "-p parallel folds need one device per process; a "
+                        "single TPU cannot be shared — running folds "
+                        "sequentially"
+                    )
+                    parallel = False
+            if parallel:
+                fold_measures = self._run_folds_parallel(folds)
+            else:
+                fold_measures = [
+                    self._run_fold(train, test, f"[{i + 1}]")
+                    for i, (train, test) in enumerate(folds)
+                ]
             # string-format averaging (QRec.py:91-107)
             res = []
             for i in range(len(fold_measures[0])):
@@ -133,14 +215,15 @@ class QRec:
                     float(fold_measures[j][i].split(":")[1]) for j in range(k)
                 )
                 res.append(metric + ":" + str(total / k) + "\n")
+            # the reference writes the CV summary UNCONDITIONALLY, ignoring
+            # the output.setup main switch (QRec.py:103-106) — match it
             output = OptionConf(self.config["output.setup"])
-            if output.isMainOn():
-                out_dir = output["-dir"]
-                file_name = (
-                    self.config["model.name"] + "@" + timestamp()
-                    + "-" + str(k) + "-fold-cv.txt"
-                )
-                qio.write_file(out_dir, file_name, res)
+            out_dir = output.get("-dir", "./results/")
+            file_name = (
+                self.config["model.name"] + "@" + timestamp()
+                + "-" + str(k) + "-fold-cv.txt"
+            )
+            qio.write_file(out_dir, file_name, res)
             print(
                 "The result of %d-fold cross validation:\n%s" % (k, "".join(res))
             )

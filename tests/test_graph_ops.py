@@ -247,8 +247,16 @@ def test_joint_adj_backend_auto_prefers_pallas_on_tpu(tiny_conf, tiny_data, monk
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # the 8 virtual devices + fake-TPU backend auto-enable the mesh, whose
+    # policy is COO (the Pallas kernel is single-device) — pin single-chip
+    tiny_conf.config["parallel.setup"] = "off"
     m = LightGCN(tiny_conf, tiny_data)
-    assert isinstance(m.joint_adj, PaddedCOO)  # TPU: pallas past the budget
+    assert isinstance(m.joint_adj, PaddedCOO)  # TPU single-chip: pallas
+
+    # multi-chip mesh active → GSPMD-partitionable COO, never pallas
+    tiny_conf.config["parallel.setup"] = "on -model 2"
+    m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, DeviceCOO)
 
 
 def test_view_adjacency_pallas_matches_coo_on_subgraph_vals(tiny_data):

@@ -81,6 +81,210 @@ def test_sharded_embedding_training_step_matches_single_device():
         assert np.allclose(np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-5), k
 
 
+def test_maybe_initialize_distributed_env_gated(monkeypatch):
+    """The multi-host DCN hook only fires when the coordinator env triplet
+    is present, passes it through to jax.distributed.initialize, and is
+    idempotent (hardware is absent here, so initialize is stubbed)."""
+    import qrec_tpu.parallel.mesh as M
+
+    monkeypatch.setattr(M, "_distributed_initialized", False)
+    monkeypatch.delenv("QREC_COORDINATOR", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert M.maybe_initialize_distributed() is False
+
+    calls = []
+    monkeypatch.setattr(
+        M.jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    monkeypatch.setenv("QREC_COORDINATOR", "host0:8476")
+    monkeypatch.setenv("QREC_NUM_PROCESSES", "2")
+    monkeypatch.setenv("QREC_PROCESS_ID", "1")
+    assert M.maybe_initialize_distributed() is True
+    assert calls == [
+        {
+            "coordinator_address": "host0:8476",
+            "num_processes": 2,
+            "process_id": 1,
+        }
+    ]
+    # idempotent: second call does not re-initialize
+    assert M.maybe_initialize_distributed() is True
+    assert len(calls) == 1
+
+
+def test_sharded_masked_topk_matches_single_device_ranker(tiny_conf, tiny_data):
+    """The item-sharded eval path must reproduce the single-device ranker
+    bit-for-bit: same masking of rated items, same unseen-user global-mean
+    fill, same tie-breaking — including a catalog NOT divisible by the
+    model-axis size (padding items must never win)."""
+    from qrec_tpu.ops.topk import CatalogRanker, embedding_score_fn
+
+    mesh = make_mesh(8)  # model axis = 2; tiny_data has 8 items (divisible)
+    rng = np.random.RandomState(2)
+    d = 8
+    params = {
+        "user_emb": jnp.asarray(
+            rng.randn(tiny_data.num_users, d).astype(np.float32)
+        ),
+        "item_emb": jnp.asarray(
+            rng.randn(tiny_data.num_items, d).astype(np.float32)
+        ),
+    }
+    plain = CatalogRanker(tiny_data, k=5, batch_size=4)
+    sharded = CatalogRanker(tiny_data, k=5, batch_size=4, mesh=mesh)
+    ids_a, sc_a = plain.topk(embedding_score_fn, params)
+    ids_b, sc_b = sharded.topk(embedding_score_fn, params)
+    assert (ids_a == ids_b).all()
+    assert np.allclose(sc_a, sc_b, atol=1e-6)
+
+
+def test_sharded_masked_topk_odd_catalog():
+    """Catalog size odd w.r.t. the shard count: padded item rows are scored
+    -inf and can never enter the top-k."""
+    from qrec_tpu.parallel.topk import sharded_masked_topk
+
+    mesh = make_mesh(8)  # 2 model shards; 7 items → padded to 8
+    rng = np.random.RandomState(4)
+    b, i, d, k = 8, 7, 8, 5
+    u = rng.randn(b, d).astype(np.float32)
+    v = rng.randn(i, d).astype(np.float32)
+    v_pad = np.zeros((8, d), np.float32)
+    v_pad[:i] = v
+    sh = shardings(mesh)
+    rated = np.full((b, 2), i, dtype=np.int32)
+    rated[0] = [0, 3]  # user 0 rated items 0 and 3
+    unseen = np.zeros(b, dtype=bool)
+    unseen[5] = True
+    ids, scores = sharded_masked_topk(
+        mesh,
+        jax.device_put(jnp.asarray(u), sh.replicated),
+        jax.device_put(jnp.asarray(v_pad), sh.embedding),
+        jax.device_put(jnp.asarray(rated), sh.replicated),
+        jax.device_put(jnp.asarray(unseen), sh.replicated),
+        0.37,
+        i,
+        k,
+    )
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert ids.max() < i  # padding never wins
+    dense = u @ v.T
+    dense[0, [0, 3]] = 0.0
+    dense[5, :] = 0.37
+    exp_ids = np.argsort(-dense, axis=1, kind="stable")[:, :k]
+    exp_scores = np.take_along_axis(dense, exp_ids, axis=1)
+    assert np.allclose(scores, exp_scores, atol=1e-5)
+    # compare id sets row-wise (ties among equal scores may reorder)
+    for r in range(b):
+        assert np.allclose(
+            sorted(scores[r]), sorted(exp_scores[r]), atol=1e-5
+        )
+
+
+def _block_ratings(tmp_path, n_users=40, n_items=30, per_user=10):
+    rng = np.random.RandomState(0)
+    lines = []
+    half = n_items // 2
+    for u in range(n_users):
+        block = 0 if u < n_users // 2 else 1
+        items = rng.choice(half, size=per_user, replace=False) + block * half
+        for i in items:
+            lines.append(f"u{u} i{i} 1\n")
+    p = tmp_path / "ratings.txt"
+    p.write_text("".join(lines))
+    return p
+
+
+def _mesh_conf(path, name, extra=None):
+    from qrec_tpu import ModelConf
+
+    cfg = {
+        "ratings": str(path),
+        "ratings.setup": "-columns 0 1 2",
+        "model.name": name,
+        "evaluation.setup": "-ap 0.2",
+        "item.ranking": "on -topN 10",
+        "num.factors": "16",
+        "num.max.epoch": "25",
+        "batch_size": "64",
+        "learnRate": "-init 0.05 -max 1",
+        "reg.lambda": "-u 0.001 -i 0.001 -b 0.1 -s 0.1",
+        "output.setup": "off -dir ./results/",
+        "parallel.setup": "on -model 2",
+        "seed": "7",
+    }
+    if extra:
+        cfg.update(extra)
+    return ModelConf(cfg)
+
+
+def test_sharded_lightgcn_end_to_end(tmp_path):
+    """A GraphRecommender (LightGCN) trains through QRec over the 8-device
+    mesh — graph propagation, epoch scan, and the item-sharded final eval all
+    run under GSPMD — and matches the single-device run's metrics."""
+    from qrec_tpu import QRec
+    from qrec_tpu.ops.metrics import parse_measure
+    from qrec_tpu.ops.spmm import DeviceCOO
+
+    p = _block_ratings(tmp_path)
+    extra = {"LightGCN": "-n_layer 2", "graph.backend": "coo"}
+    rec = QRec(_mesh_conf(p, "LightGCN", extra), seed=3)
+    measure = rec.execute()
+    assert rec.model.mesh is not None
+    assert isinstance(rec.model.joint_adj, DeviceCOO)
+    parsed = parse_measure(measure)
+    assert parsed["Top 10"]["Recall"] > 0.5, parsed
+
+    # single-device reference run: same seed/config without the mesh
+    conf1 = _mesh_conf(p, "LightGCN", extra)
+    conf1.config["parallel.setup"] = "off"
+    rec1 = QRec(conf1, seed=3)
+    measure1 = rec1.execute()
+    p8 = parse_measure(measure)["Top 10"]
+    p1 = parse_measure(measure1)["Top 10"]
+    for m in ("Precision", "Recall", "NDCG"):
+        assert abs(p8[m] - p1[m]) < 2e-2, (m, p8, p1)
+
+
+def test_sharded_simgcl_end_to_end(tmp_path):
+    """An SSL model (SimGCL: perturbed contrastive encoders + InfoNCE)
+    trains through QRec over the 8-device mesh and reaches the quality
+    floor."""
+    from qrec_tpu import QRec
+    from qrec_tpu.ops.metrics import parse_measure
+
+    p = _block_ratings(tmp_path)
+    extra = {
+        "SimGCL": "-n_layer 2 -lambda 0.05 -eps 0.1",
+        "graph.backend": "coo",
+    }
+    rec = QRec(_mesh_conf(p, "SimGCL", extra), seed=3)
+    measure = rec.execute()
+    assert rec.model.mesh is not None
+    parsed = parse_measure(measure)
+    assert parsed["Top 10"]["Recall"] > 0.5, parsed
+
+
+def test_mesh_downgrades_pallas_backend(tmp_path, capsys):
+    """graph.backend=pallas under an active mesh falls back to the GSPMD-
+    partitionable COO path with a visible notice (the Pallas kernel is
+    single-device)."""
+    from qrec_tpu import QRec
+    from qrec_tpu.ops.spmm import DeviceCOO
+
+    p = _block_ratings(tmp_path)
+    extra = {
+        "LightGCN": "-n_layer 2",
+        "graph.backend": "pallas",
+        "num.max.epoch": "2",
+        # force past the dense budget so 'auto' resolves to COO, not dense
+        "graph.dense.limit": "1",
+    }
+    rec = QRec(_mesh_conf(p, "LightGCN", extra), seed=3)
+    rec.execute()
+    assert isinstance(rec.model.joint_adj, DeviceCOO)
+    assert "single-device only" in capsys.readouterr().out
+
+
 def test_sharded_training_end_to_end(tmp_path):
     """parallel.setup=on trains BPR over the 8-device mesh end-to-end."""
     from qrec_tpu import ModelConf, QRec

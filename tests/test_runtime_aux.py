@@ -64,6 +64,143 @@ def test_bold_driver_schedule():
     assert lr == pytest.approx(0.0525)
 
 
+def _mf_conf(tmp_path, ratings_path, extra=None):
+    from qrec_tpu.config import ModelConf
+
+    cfg = {
+        "ratings": str(ratings_path),
+        "ratings.setup": "-columns 0 1 2",
+        "model.name": "PMF",
+        "evaluation.setup": "-ap 0.2",
+        "item.ranking": "off -topN -1",
+        "num.factors": "8",
+        "num.max.epoch": "6",
+        "batch_size": "32",
+        "learnRate": "-init 0.02 -max 1",
+        "reg.lambda": "-u 0.01 -i 0.01 -b 0.1 -s 0.1",
+        "output.setup": "off -dir ./results/",
+        "seed": "11",
+    }
+    if extra:
+        cfg.update(extra)
+    return ModelConf(cfg)
+
+
+def _write_ratings(tmp_path):
+    rng = np.random.RandomState(0)
+    lines = []
+    for u in range(30):
+        for i in rng.choice(20, size=8, replace=False):
+            lines.append(f"u{u} i{i} {rng.randint(1, 6)}\n")
+    p = tmp_path / "ratings.txt"
+    p.write_text("".join(lines))
+    return p
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """checkpoint.setup=on: a run killed mid-training and resumed from the
+    latest checkpoint produces bit-identical final params to an
+    uninterrupted run (params, optimizer state, LR schedule, and the RNG
+    stream are all restored)."""
+    from qrec_tpu import QRec
+
+    p = _write_ratings(tmp_path)
+    ckdir = tmp_path / "ck"
+
+    # "killed" run: checkpoint every 2 epochs, stop after epoch 3
+    conf_a = _mf_conf(
+        tmp_path, p, {"checkpoint.setup": f"on -dir {ckdir} -every 2"}
+    )
+    rec_a = QRec(conf_a, seed=3)
+    from qrec_tpu.data.dataset import Interactions
+    from qrec_tpu.models import get_model
+
+    data = Interactions(conf_a, rec_a.training_data, rec_a.test_data, seed=3)
+    m = get_model("PMF")(conf_a, data)
+    spec = m.build()
+    m.run_training(
+        spec.params, spec.loss_fn, spec.sampler, mode=spec.mode,
+        track_best=False, max_epoch=3,
+    )
+    # resumed run: fresh model, full 6 epochs, same checkpoint dir
+    m2 = get_model("PMF")(conf_a, data)
+    spec2 = m2.build()
+    params2 = m2.run_training(
+        spec2.params, spec2.loss_fn, spec2.sampler, mode=spec2.mode,
+        track_best=False,
+    )
+    m2.finalize(params2, spec2)
+
+    # reference run on the SAME data split (QRec full path above re-split;
+    # rebuild the uninterrupted run on this exact Interactions object)
+    m3 = get_model("PMF")(_mf_conf(tmp_path, p), data)
+    spec3 = m3.build()
+    params3 = m3.run_training(
+        spec3.params, spec3.loss_fn, spec3.sampler, mode=spec3.mode,
+        track_best=False,
+    )
+    m3.finalize(params3, spec3)
+    assert np.array_equal(np.asarray(m2.U), np.asarray(m3.U))
+    assert np.array_equal(np.asarray(m2.V), np.asarray(m3.V))
+
+
+def test_rating_mode_epoch_line_shows_mae_rmse(tmp_path, capsys):
+    """Rating models print MAE/RMSE on each epoch line, matching the
+    reference's observable surface (base/iterativeRecommender.py:91-94)."""
+    from qrec_tpu import QRec
+
+    p = _write_ratings(tmp_path)
+    rec = QRec(_mf_conf(tmp_path, p), seed=3)
+    rec.execute()
+    out = capsys.readouterr().out
+    epoch_lines = [l for l in out.splitlines() if "epoch 1:" in l]
+    assert epoch_lines and "MAE:" in epoch_lines[0] and "RMSE:" in epoch_lines[0]
+    assert "ex/s]" in epoch_lines[0]
+
+
+def test_cv_summary_written_unconditionally(tmp_path):
+    """The reference writes the k-fold CV summary file regardless of the
+    output.setup main switch (QRec.py:103-106)."""
+    import os
+
+    from qrec_tpu import QRec
+
+    p = _write_ratings(tmp_path)
+    out_dir = tmp_path / "cvout"
+    conf = _mf_conf(
+        tmp_path, p,
+        {
+            "evaluation.setup": "-cv 2",
+            "num.max.epoch": "2",
+            "output.setup": f"off -dir {out_dir}/",
+        },
+    )
+    rec = QRec(conf, seed=3)
+    rec.execute()
+    files = os.listdir(out_dir)
+    assert any("fold-cv" in f for f in files), files
+
+
+def test_cv_parallel_folds_match_sequential(tmp_path):
+    """evaluation.setup ... -p runs folds as concurrent spawned processes
+    (QRec.py:82-89) and averages to the same result as sequential folds."""
+    from qrec_tpu import QRec
+
+    p = _write_ratings(tmp_path)
+    out_dir = tmp_path / "cvout"
+    base = {
+        "evaluation.setup": "-cv 2",
+        "num.max.epoch": "2",
+        "output.setup": f"off -dir {out_dir}/",
+    }
+    seq = QRec(_mf_conf(tmp_path, p, base), seed=3).execute()
+    par = QRec(
+        _mf_conf(tmp_path, p, {**base, "evaluation.setup": "-cv 2 -p"}),
+        seed=3,
+    ).execute()
+    assert seq == par
+
+
 def test_best_tracker_majority_vote():
     bt = BestTracker()
     m1 = {"Precision": 0.1, "Recall": 0.1, "F1": 0.1, "NDCG": 0.1}
