@@ -181,6 +181,10 @@ class SGL(GraphRecommender):
         n_layers = self.n_layers
         reg_u, ssl_reg, temp = self.reg_u, self.ssl_reg, self.ssl_temp
         drop_rate, aug_type = self.drop_rate, self.aug_type
+        # merged contrastive batch = unique users + unique items per step
+        ssl_backend, ssl_interp = L.resolve_ssl_backend(
+            self.config, 2 * self.batch_size, self.mesh
+        )
 
         def view_vals(rng, layer):
             # aug 2 (random walk) uses per-layer subgraphs; 0/1 one per view
@@ -225,7 +229,9 @@ class SGL(GraphRecommender):
             merge1 = jnp.concatenate([s1u[uu], s1i[iu]])
             merge2 = jnp.concatenate([s2u[uu], s2i[iu]])
             mask = jnp.concatenate([um, im])
-            ssl = ssl_reg * L.masked_infonce(merge1, merge2, mask, temp)
+            ssl = ssl_reg * L.infonce_dispatch(
+                merge1, merge2, mask, temp, ssl_backend, ssl_interp
+            )
             return rec + ssl
 
         def score_params(params):
@@ -267,6 +273,9 @@ class SimGCL(GraphRecommender):
         nu = self.num_users
         n_layers = self.n_layers
         reg_u, cl_rate, eps, temp = self.reg_u, self.cl_rate, self.eps, self.cl_temp
+        ssl_backend, ssl_interp = L.resolve_ssl_backend(
+            self.config, self.batch_size, self.mesh
+        )
 
         def encode_main(params):
             # note: reference SimGCL's LightGCN_encoder averages the K
@@ -307,8 +316,12 @@ class SimGCL(GraphRecommender):
             p2u, p2i = encode_perturbed(params, rb)
             uu, um = L.unique_padded(u)
             iu, im = L.unique_padded(i)
-            cl = L.masked_infonce(p1u[uu], p2u[uu], um, temp)
-            cl = cl + L.masked_infonce(p1i[iu], p2i[iu], im, temp)
+            cl = L.infonce_dispatch(
+                p1u[uu], p2u[uu], um, temp, ssl_backend, ssl_interp
+            )
+            cl = cl + L.infonce_dispatch(
+                p1i[iu], p2i[iu], im, temp, ssl_backend, ssl_interp
+            )
             return rec + cl_rate * cl
 
         def score_params(params):

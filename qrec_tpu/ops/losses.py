@@ -86,6 +86,73 @@ def masked_infonce(
     return jnp.sum(mask * (lse - pos))
 
 
+# merged-batch row count at which the fused Pallas InfoNCE (forward AND
+# recompute-backward in VMEM) is preferred over the XLA path on TPU under
+# ssl.backend=auto. Measured on one v5e (d=64, fwd+bwd per step, scan-
+# amortized): 512 rows 1.10x, 1024 rows 1.08x, 2048 rows 1.39x, 4096 rows
+# 2.61x — the B×B HBM logits traffic the kernel avoids grows quadratically.
+# Below ~2k rows the win is <0.05 ms/step and the extra Mosaic compile
+# (~30-60 s through the remote-compile tunnel) dominates typical runs.
+SSL_PALLAS_MIN_ROWS = 2048
+
+
+def resolve_ssl_backend(config, batch_rows: int, mesh=None):
+    """Resolve ``ssl.backend=auto|xla|pallas`` to (backend, interpret).
+
+    auto → the fused kernel on TPU for large contrastive batches; an
+    explicit ``pallas`` is honored everywhere (interpret mode off-TPU,
+    mirroring graph.backend semantics). Under an active mesh the XLA path
+    is forced — Pallas kernels are single-device (same policy as
+    graph.backend)."""
+    import jax
+
+    backend = config.get("ssl.backend", "auto") if config is not None else "auto"
+    if mesh is not None:
+        if backend == "pallas":
+            print(
+                "ssl.backend=pallas is single-device only; using the XLA "
+                "InfoNCE under the active device mesh"
+            )
+        return "xla", False
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "pallas":
+        return "pallas", not on_tpu
+    if backend == "auto" and on_tpu and batch_rows >= SSL_PALLAS_MIN_ROWS:
+        return "pallas", False
+    if backend not in ("auto", "xla"):
+        from ..errors import ConfigError
+
+        raise ConfigError(
+            f"unknown ssl.backend {backend!r} (expected auto|xla|pallas)"
+        )
+    return "xla", False
+
+
+def infonce_dispatch(
+    view1: jnp.ndarray,
+    view2: jnp.ndarray,
+    mask: jnp.ndarray,
+    temperature: float,
+    backend: str = "xla",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``masked_infonce`` through the selected backend. The Pallas kernel
+    needs the row count padded to its tile; pad rows carry mask=0 so they
+    contribute neither positives nor negatives."""
+    if backend == "pallas":
+        from .pallas_kernels import ROW_TILE, infonce_loss
+
+        b, d = view1.shape
+        bp = b if b <= ROW_TILE else -(-b // ROW_TILE) * ROW_TILE
+        if bp != b:
+            pad = bp - b
+            view1 = jnp.concatenate([view1, jnp.zeros((pad, d), view1.dtype)])
+            view2 = jnp.concatenate([view2, jnp.zeros((pad, d), view2.dtype)])
+            mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+        return infonce_loss(view1, view2, mask, temperature, interpret)
+    return masked_infonce(view1, view2, mask, temperature)
+
+
 def infonce(
     view1: jnp.ndarray,  # (B, d)
     view2: jnp.ndarray,  # (B, d)

@@ -72,11 +72,19 @@ def _score_kernel(u_ref, v_ref, mask_ref, out_ref, *, mask_value):
     words_i = pltpu.bitcast(words, jnp.int32)
     lo = (words_i & 0xFFFF).astype(jnp.float32)  # (B, wpt), < 2^16 exact
     hi = jax.lax.shift_right_logical(words_i, 16).astype(jnp.float32)
+    # HIGHEST precision is load-bearing: these matmuls carry exact integers
+    # up to 65535 (16 mantissa bits); the TPU's default bf16-multiply pass
+    # (8 mantissa bits) silently destroys the low bits of each half, i.e.
+    # drops rated-item mask bits 0-7 and 16-23
     rep_lo = jax.lax.dot_general(
-        lo, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        lo, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     rep_hi = jax.lax.dot_general(
-        hi, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        hi, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     cbit = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) & 31
     use_hi = cbit >= 16
@@ -178,21 +186,27 @@ def _infonce_kernel(v1_ref, v2_ref, mask_ref, out_ref, *, temperature):
     out_ref[0, 0] += partial_sum
 
 
-@functools.partial(jax.jit, static_argnames=("temperature", "interpret"))
-def infonce_loss(
-    view1: jnp.ndarray,  # (B, d)
-    view2: jnp.ndarray,  # (B, d)
-    mask: jnp.ndarray,  # (B,) 1=real row
-    temperature: float,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Masked InfoNCE with L2 normalization, fused logits+logsumexp."""
-    b, d = view1.shape
-    assert b % ROW_TILE == 0 or b <= ROW_TILE, "pad batch to ROW_TILE"
+def _l2n(x):
+    """Zero-row-safe L2 normalization — rsqrt(max(Σx², eps)) so zero rows
+    give zero output and a FINITE gradient (the repo-wide SSL invariant;
+    plain norm+eps division NaNs in the backward at zero rows)."""
+    return x * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-12)
+    )
+
+
+def _l2n_bwd(x, g):
+    """VJP of ``_l2n`` at ``x`` applied to cotangent ``g``."""
+    s = jnp.sum(x * x, axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(s, 1e-12))
+    gx = g * inv
+    corr = x * jnp.sum(g * x, axis=1, keepdims=True) * inv**3
+    return jnp.where(s > 1e-12, gx - corr, gx)
+
+
+def _infonce_fwd_call(v1, v2, mask2d, temperature, interpret):
+    b, d = v1.shape
     row_tile = min(ROW_TILE, b)
-    v1 = view1 / (jnp.linalg.norm(view1, axis=1, keepdims=True) + 1e-12)
-    v2 = view2 / (jnp.linalg.norm(view2, axis=1, keepdims=True) + 1e-12)
-    mask2d = mask.reshape(1, b).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_infonce_kernel, temperature=temperature),
         grid=(b // row_tile,),
@@ -208,6 +222,115 @@ def infonce_loss(
         interpret=interpret,
     )(v1, v2, mask2d)
     return out[0, 0]
+
+
+def _infonce_bwd_kernel(v1_ref, v2_ref, mask_ref, dv1_ref, dv2_ref, *, temperature):
+    """Fused backward: recompute the logits tile + row softmax in VMEM and
+    emit both cotangents — dlogits never touches HBM (the XLA backward
+    materializes the full B×B probability matrix)."""
+    j = pl.program_id(0)
+    v1 = v1_ref[:]  # (Rt, d) normalized row tile
+    v2 = v2_ref[:]  # (B, d) normalized
+    mask = mask_ref[:]  # (1, B)
+    logits = (
+        jax.lax.dot_general(
+            v1, v2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        / temperature
+    )  # (Rt, B)
+    neg_inf = jnp.float32(-1e30)
+    logits = jnp.where(mask > 0, logits, neg_inf)
+    row_max = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - row_max)
+    p = e / jnp.sum(e, axis=1, keepdims=True)  # (Rt, B)
+    rt = v1.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    diag = (rows + j * rt == cols).astype(jnp.float32)
+    row_mask = mask_ref[:, pl.ds(pl.multiple_of(j * rt, 128), rt)]
+    dlog = row_mask.reshape(-1, 1) * (p - diag) / temperature  # (Rt, B)
+    dv1_ref[:] = jax.lax.dot_general(
+        dlog, v2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dv2_ref[:] = jnp.zeros_like(dv2_ref)
+
+    dv2_ref[:] += jax.lax.dot_general(
+        dlog, v1,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _infonce_bwd_call(v1, v2, mask2d, temperature, interpret):
+    b, d = v1.shape
+    row_tile = min(ROW_TILE, b)
+    return pl.pallas_call(
+        functools.partial(_infonce_bwd_kernel, temperature=temperature),
+        grid=(b // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(v1, v2, mask2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def infonce_loss(
+    view1: jnp.ndarray,  # (B, d)
+    view2: jnp.ndarray,  # (B, d)
+    mask: jnp.ndarray,  # (B,) 1=real row
+    temperature: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked InfoNCE with L2 normalization, fused logits+logsumexp forward
+    and a fused recompute backward (flash-attention-style): the (B, B)
+    logits/probability matrices live only in VMEM tiles, never in HBM.
+    Drop-in for ops/losses.masked_infonce (same zero-row-safe
+    normalization); B must be a multiple of ROW_TILE (or <= ROW_TILE) —
+    ops/losses.infonce_dispatch pads."""
+    b, d = view1.shape
+    assert b % ROW_TILE == 0 or b <= ROW_TILE, "pad batch to ROW_TILE"
+    v1 = _l2n(view1)
+    v2 = _l2n(view2)
+    mask2d = mask.reshape(1, b).astype(jnp.float32)
+    return _infonce_fwd_call(v1, v2, mask2d, temperature, interpret)
+
+
+def _infonce_vjp_fwd(view1, view2, mask, temperature, interpret):
+    b = view1.shape[0]
+    v1 = _l2n(view1)
+    v2 = _l2n(view2)
+    mask2d = mask.reshape(1, b).astype(jnp.float32)
+    loss = _infonce_fwd_call(v1, v2, mask2d, temperature, interpret)
+    return loss, (view1, view2, v1, v2, mask2d)
+
+
+def _infonce_vjp_bwd(temperature, interpret, res, g):
+    view1, view2, v1, v2, mask2d = res
+    dv1n, dv2n = _infonce_bwd_call(v1, v2, mask2d, temperature, interpret)
+    dview1 = _l2n_bwd(view1, g * dv1n)
+    dview2 = _l2n_bwd(view2, g * dv2n)
+    return dview1, dview2, None
+
+
+infonce_loss.defvjp(_infonce_vjp_fwd, _infonce_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

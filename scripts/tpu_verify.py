@@ -63,9 +63,13 @@ def verify_kernels():
     for bi in range(b):
         rated = indices[indptr[bi]:indptr[bi + 1]]
         exp[bi, rated] = 0.0
-    diff = float(jnp.max(jnp.abs(got - exp)))
-    print(f"[pallas] scorer max|diff| vs XLA: {diff:.2e}", flush=True)
-    assert diff < 1e-3
+    # default TPU matmul precision is bf16-multiply/f32-accumulate (same
+    # precision class as the XLA eval path's jnp.dot) — compare RELATIVE to
+    # the score scale, not absolutely, against the f32 host reference
+    scale = float(np.abs(exp).max())
+    diff = float(jnp.max(jnp.abs(got - exp))) / scale
+    print(f"[pallas] scorer max rel diff vs f32 host: {diff:.2e}", flush=True)
+    assert diff < 2e-2
     t_p = timeit(masked_catalog_scores, u, v, mask)
     print(f"[pallas] scorer {t_p * 1e3:.2f} ms", flush=True)
 
@@ -84,8 +88,54 @@ def verify_kernels():
     rel = abs(float(gl) - el) / abs(el)
     print(f"[pallas] infonce rel diff: {rel:.2e}", flush=True)
     assert rel < 1e-3
-    t_p = timeit(lambda a, c: infonce_loss(a, c, m2, 0.2), v1, v2)
-    print(f"[pallas] infonce {t_p * 1e3:.2f} ms", flush=True)
+    t_p = timeit(jax.jit(lambda a, c: infonce_loss(a, c, m2, 0.2)), v1, v2)
+    print(f"[pallas] infonce fwd {t_p * 1e3:.2f} ms", flush=True)
+
+    # fused backward parity + the fwd+bwd crossover that justifies
+    # SSL_PALLAS_MIN_ROWS (ops/losses.resolve_ssl_backend)
+    def grad_pair(loss_fn, a, c, m):
+        return jax.jit(
+            jax.grad(lambda x, y: loss_fn(x, y, m, 0.2), argnums=(0, 1))
+        )
+
+    gp = grad_pair(infonce_loss, v1, v2, m2)
+    gx = grad_pair(L.masked_infonce, v1, v2, m2)
+    g1p, g2p = gp(v1, v2)
+    g1x, g2x = gx(v1, v2)
+    gscale = float(jnp.max(jnp.abs(g1x))) or 1.0
+    gd = max(
+        float(jnp.max(jnp.abs(g1p - g1x))), float(jnp.max(jnp.abs(g2p - g2x)))
+    ) / gscale
+    print(f"[pallas] infonce grad max rel diff vs XLA: {gd:.2e}", flush=True)
+    assert gd < 2e-2
+    # time K grad applications inside one jitted scan so the per-call
+    # remote-dispatch latency (~2 ms through the axon tunnel) amortizes out
+    K = 20
+
+    def scan_grad(loss_fn, m):
+        def f(va, vb):
+            def step(c, _):
+                g1, g2 = jax.grad(
+                    lambda x, y: loss_fn(x, y, m, 0.2), argnums=(0, 1)
+                )(c[0], c[1])
+                return (c[0] - 1e-6 * g1, c[1] - 1e-6 * g2), ()
+
+            (va, vb), _ = jax.lax.scan(step, (va, vb), None, length=K)
+            return va, vb
+
+        return jax.jit(f)
+
+    for rows in (512, 1024, 2048, 4096):
+        va = jnp.asarray(rng.randn(rows, d2).astype(np.float32))
+        vb = jnp.asarray(rng.randn(rows, d2).astype(np.float32))
+        mm = jnp.ones(rows)
+        tp = timeit(scan_grad(infonce_loss, mm), va, vb, n=5) / K
+        tx = timeit(scan_grad(L.masked_infonce, mm), va, vb, n=5) / K
+        print(
+            f"[pallas] infonce fwd+bwd rows={rows}: pallas {tp * 1e3:.3f} ms"
+            f" vs XLA {tx * 1e3:.3f} ms ({tx / tp:.2f}x)",
+            flush=True,
+        )
 
 
 def quality_runs():

@@ -62,6 +62,29 @@ def test_graph_model_learns_blocks(tmp_path, name, extra):
     assert parsed["Top 10"]["Recall"] > 0.5, (name, parsed)
 
 
+def test_ssl_pallas_backend_trains(tmp_path):
+    """SGL trains end-to-end through the fused Pallas InfoNCE (custom-VJP
+    forward + recompute backward; interpret mode on CPU) and lands within
+    noise of the XLA-loss run."""
+    ratings = _write_block_dataset(tmp_path)
+    extra = {
+        "SGL": "-n_layer 2 -lambda 0.05 -droprate 0.2 -augtype 1 -temp 0.2",
+        "num.max.epoch": "15",
+    }
+    m_pallas = QRec(
+        _conf(tmp_path, ratings, "SGL", {**extra, "ssl.backend": "pallas"}),
+        seed=3,
+    ).execute()
+    m_xla = QRec(
+        _conf(tmp_path, ratings, "SGL", {**extra, "ssl.backend": "xla"}),
+        seed=3,
+    ).execute()
+    rp = parse_measure(m_pallas)["Top 10"]
+    rx = parse_measure(m_xla)["Top 10"]
+    assert rp["Recall"] > 0.5, rp
+    assert abs(rp["Recall"] - rx["Recall"]) < 0.05, (rp, rx)
+
+
 def test_sgl_augmentation_types(tmp_path):
     ratings = _write_block_dataset(tmp_path)
     for aug in (0, 2):

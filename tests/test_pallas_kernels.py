@@ -62,3 +62,68 @@ def test_infonce_interpret_multitile():
     got = infonce_loss(v1, v2, mask, 0.5, interpret=True)
     expected = L.masked_infonce(v1, v2, mask, 0.5)
     assert float(got) == pytest.approx(float(expected), rel=1e-4)
+
+
+def test_infonce_gradients_match_xla():
+    """The fused recompute backward (custom VJP) must match autodiff through
+    the XLA masked_infonce — including masked rows and zero rows (the
+    zero-row-safe normalization invariant)."""
+    rng = np.random.RandomState(3)
+    b, d = 512, 16
+    v1 = rng.randn(b, d).astype(np.float32)
+    v2 = rng.randn(b, d).astype(np.float32)
+    v1[7] = 0.0  # zero row: must give a finite grad, not NaN
+    mask = (rng.rand(b) > 0.25).astype(np.float32)
+    mask[7] = 1.0
+    v1, v2, mask = jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(mask)
+
+    def f_pallas(a, b_):
+        return infonce_loss(a, b_, mask, 0.2, interpret=True)
+
+    def f_xla(a, b_):
+        return L.masked_infonce(a, b_, mask, 0.2)
+
+    g1p, g2p = jax.grad(f_pallas, argnums=(0, 1))(v1, v2)
+    g1x, g2x = jax.grad(f_xla, argnums=(0, 1))(v1, v2)
+    assert np.isfinite(np.asarray(g1p)).all()
+    assert np.allclose(np.asarray(g1p), np.asarray(g1x), atol=2e-4), np.abs(
+        np.asarray(g1p) - np.asarray(g1x)
+    ).max()
+    assert np.allclose(np.asarray(g2p), np.asarray(g2x), atol=2e-4)
+
+
+def test_infonce_dispatch_pads_to_tile():
+    """infonce_dispatch pads a non-tile-multiple batch with mask-0 rows —
+    value and gradients identical to the unpadded XLA loss."""
+    rng = np.random.RandomState(4)
+    b, d = 300, 8  # not a multiple of ROW_TILE=256
+    v1 = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b) > 0.3).astype(np.float32))
+
+    got = L.infonce_dispatch(v1, v2, mask, 0.2, "pallas", True)
+    expected = L.masked_infonce(v1, v2, mask, 0.2)
+    assert float(got) == pytest.approx(float(expected), rel=1e-4)
+
+    gp = jax.grad(
+        lambda a: L.infonce_dispatch(a, v2, mask, 0.2, "pallas", True)
+    )(v1)
+    gx = jax.grad(lambda a: L.masked_infonce(a, v2, mask, 0.2))(v1)
+    assert np.allclose(np.asarray(gp), np.asarray(gx), atol=2e-4)
+
+
+def test_resolve_ssl_backend_policy(monkeypatch):
+    from qrec_tpu.config import ModelConf
+    from qrec_tpu.errors import ConfigError
+
+    conf = ModelConf({"ssl.backend": "auto"})
+    assert L.resolve_ssl_backend(conf, 4096) == ("xla", False)  # CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert L.resolve_ssl_backend(conf, 4096) == ("pallas", False)
+    assert L.resolve_ssl_backend(conf, 512) == ("xla", False)  # small batch
+    assert L.resolve_ssl_backend(conf, 4096, mesh=object()) == ("xla", False)
+    conf2 = ModelConf({"ssl.backend": "pallas"})
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert L.resolve_ssl_backend(conf2, 64) == ("pallas", True)
+    with pytest.raises(ConfigError):
+        L.resolve_ssl_backend(ModelConf({"ssl.backend": "bogus"}), 64)
