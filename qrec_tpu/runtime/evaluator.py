@@ -54,12 +54,23 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
         batch_size=getattr(model, "eval_batch_size", 1024),
         mesh=getattr(model, "mesh", None),
     )
-    # eval.backend=pallas uses the fused masked-scorer kernel for plain
-    # embedding models (needs final U/V and the packed rated bitmask)
+    # eval.backend=auto|xla|pallas: the fused masked-scorer kernel (rated-
+    # item masking from the packed bitmask in VMEM) for plain embedding
+    # models — the TPU default since parity-testing (scripts/tpu_verify.py;
+    # metrics match the XLA path within bf16 noise). Single-device only: an
+    # active mesh routes through the item-sharded shard_map path instead.
+    import jax
+
     from ..models.base import Recommender as _RecBase
 
+    eval_backend = conf.get("eval.backend", "auto")
+    backend_wants_pallas = eval_backend == "pallas" or (
+        eval_backend == "auto"
+        and jax.default_backend() == "tpu"
+        and getattr(model, "mesh", None) is None
+    )
     use_pallas = (
-        conf.get("eval.backend", "xla") == "pallas"
+        backend_wants_pallas
         and getattr(model, "U", None) is not None
         and getattr(model, "V", None) is not None
         # only plain U·Vᵀ scorers — models with bias/distance scoring
