@@ -128,6 +128,33 @@ def main():
             file=sys.stderr,
         )
 
+    # ---- hardware-anchored utilization (PARITY.md roofline) -------------
+    # DenseJoint propagation flops: 2·U·I·d per bipartite matmul, 2 matmuls
+    # per application, n_layer applications fwd + the same again bwd
+    # (symmetric VJP) — everything else in the step is lower-order.
+    u_n, i_n, d_f = data.num_users, data.num_items, model.emb_size
+    steps = (n_train + model.batch_size - 1) // model.batch_size
+    n_layers = getattr(model, "n_layers", 2)
+    flops_epoch = steps * 2 * n_layers * 2 * (2 * u_n * i_n * d_f)
+    tflops = flops_epoch / dt_dev / 1e12
+    V5E_BF16_PEAK_TFLOPS = 197.0  # one v5e chip
+    V5E_HBM_GBPS = 819.0
+    # adjacency bytes per epoch: one (U, I) bf16 stream per single-pass
+    # dual-product application (fwd and bwd each run n_layer applications);
+    # the two-matmul XLA path reads it twice per application
+    n_pass = 1 if getattr(model.joint_adj, "r_hat_p", None) is not None else 2
+    adj_bytes_epoch = steps * 2 * n_layers * n_pass * (2 * u_n * i_n)
+    adj_gbps = adj_bytes_epoch / dt_dev / 1e9
+    if backend == "tpu" and not args.json_only:
+        print(
+            f"[bench] propagation: {tflops:.1f} TFLOP/s "
+            f"({100 * tflops / V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak; "
+            f"d={d_f} caps MXU lanes at {min(1.0, d_f / 128):.0%}), "
+            f"adjacency stream {adj_gbps:.0f} GB/s "
+            f"({100 * adj_gbps / V5E_HBM_GBPS:.0f}% of HBM peak)",
+            file=sys.stderr,
+        )
+
     # ---- full-catalog top-k eval throughput (BASELINE.json names it) ----
     # one jitted device pass over all test users: (B, I) MXU score blocks,
     # rated-item masking, lax.top_k — replaces the reference's per-user
@@ -194,6 +221,13 @@ def main():
                     "eval_topk_items_per_sec": round(eval_items_per_sec, 0),
                     "eval_ms_all_test_users": round(eval_s * 1e3, 2),
                     "backend": backend,
+                    "propagation_tflops": round(tflops, 2),
+                    "mfu_vs_v5e_bf16_peak": round(
+                        tflops / V5E_BF16_PEAK_TFLOPS, 4
+                    )
+                    if backend == "tpu"
+                    else None,
+                    "adjacency_stream_gbps": round(adj_gbps, 1),
                 },
             }
         )

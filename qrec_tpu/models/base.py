@@ -537,6 +537,33 @@ class IterativeRecommender(Recommender):
         timer = StepTimer(examples_per_epoch=self.train_size)
         self._last_timer = timer
         epochs_run = start_epoch
+
+        def _emit(epoch_i, loss_v, lr_v, wall):
+            if (epoch_i + 1) % log_every == 0 or epoch_i == max_epoch - 1:
+                extra = ""
+                if rating_eval is not None:
+                    rm = rating_eval(params)
+                    extra = " " + " ".join(
+                        f"{k}:{v:.5f}" for k, v in rm.items()
+                    )
+                eps = self.train_size / wall if wall > 0 else 0.0
+                print(
+                    f"{self.model_name} {self.fold} epoch {epoch_i + 1}: "
+                    f"loss = {loss_v:.4f} learning_rate = {lr_v:.5f}{extra} "
+                    f"[{wall * 1e3:.1f} ms, {eps:,.0f} ex/s]"
+                )
+
+        # Lag-1 loss materialization: when nothing on the host needs this
+        # epoch's loss before the next dispatch (fixed-LR Adam, no per-epoch
+        # rating/quick eval), fetch epoch e's loss AFTER dispatching epoch
+        # e+1 — the device→host round-trip (≈25 ms over the axon tunnel,
+        # scripts/profile_sync.py) overlaps the next epoch's compute instead
+        # of serializing with it. Loss lines are identical, emitted one
+        # iteration later. Bold-driver/convergence modes keep the per-epoch
+        # sync: the reference's LR rule consumes each epoch's loss on the
+        # host before the next epoch may start (iterativeRecommender.py:56-63).
+        pipelined = bold is None and rating_eval is None and ranker is None
+        pending = None  # (epoch_idx, device_loss, lr_at_epoch)
         for epoch in range(start_epoch, max_epoch):
             epochs_run = epoch + 1
             with timer:
@@ -546,21 +573,19 @@ class IterativeRecommender(Recommender):
                 params, opt_state, loss = run_epoch(
                     params, opt_state, batches, rng_step
                 )
-                loss_val = float(loss)
+                if pipelined:
+                    if pending is not None:
+                        # timer.last is still the previous (completed) epoch's
+                        # interval — exactly the epoch whose loss prints here
+                        p_epoch, p_loss, p_lr = pending
+                        _emit(p_epoch, float(p_loss), p_lr, timer.last)
+                    pending = (epoch, loss, bold.lr if bold else self.lrate)
+                    loss_val = None
+                else:
+                    loss_val = float(loss)
             lr = bold.lr if bold else self.lrate
-            if (epoch + 1) % log_every == 0 or epoch == max_epoch - 1:
-                extra = ""
-                if rating_eval is not None:
-                    rm = rating_eval(params)
-                    extra = " " + " ".join(
-                        f"{k}:{v:.5f}" for k, v in rm.items()
-                    )
-                eps = self.train_size / timer.last if timer.last > 0 else 0.0
-                print(
-                    f"{self.model_name} {self.fold} epoch {epoch + 1}: "
-                    f"loss = {loss_val:.4f} learning_rate = {lr:.5f}{extra} "
-                    f"[{timer.last * 1e3:.1f} ms, {eps:,.0f} ex/s]"
-                )
+            if not pipelined:
+                _emit(epoch, loss_val, lr, timer.last)
             if tracker is not None and ranker is not None:
                 sp = score_params_fn(params) if score_params_fn else None
                 if sp is None:
@@ -601,6 +626,9 @@ class IterativeRecommender(Recommender):
                         ),
                     },
                 )
+        if pending is not None:
+            p_epoch, p_loss, p_lr = pending
+            _emit(p_epoch, float(p_loss), p_lr, timer.last)
         if tracker is not None:
             # actual epochs executed (bold-mode convergence can break early);
             # max_epoch here would skew best_epoch for shared trackers
@@ -681,7 +709,32 @@ class GraphRecommender(IterativeRecommender):
             dense_ok = self.num_users * self.num_items <= dense_limit
             on_tpu = jax.default_backend() == "tpu"
             if backend == "dense" or (backend == "auto" and dense_ok):
-                self._joint_adj = DenseJoint.from_interactions(self.data)
+                # Single-pass dual-product kernel: halves the adjacency HBM
+                # traffic that dominates every DenseJoint training step. Not
+                # GSPMD-partitionable, so meshes stay on the two-matmul path;
+                # graph.dense.dual=on forces it off-TPU (interpret mode, for
+                # tests), =off pins the XLA path.
+                dual_conf = self.config.get("graph.dense.dual", "auto")
+                if dual_conf not in ("auto", "on", "off"):
+                    from ..errors import ConfigError
+
+                    raise ConfigError(
+                        "graph.dense.dual must be auto|on|off, got "
+                        f"{dual_conf!r}"
+                    )
+                if dual_conf == "on" and on_mesh:
+                    print(
+                        "graph.dense.dual=on is single-device only; using"
+                        " the partitionable two-matmul path under the mesh"
+                    )
+                use_dual = not on_mesh and (
+                    dual_conf == "on" or (dual_conf == "auto" and on_tpu)
+                )
+                self._joint_adj = DenseJoint.from_interactions(
+                    self.data,
+                    dual=use_dual,
+                    dual_interpret=not on_tpu,
+                )
             elif backend == "auto" and on_mesh:
                 self._joint_adj = DeviceCOO.from_host(
                     joint_normalized_adjacency(self.data)

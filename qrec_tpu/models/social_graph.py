@@ -22,6 +22,8 @@ import scipy.sparse as sp
 from ..data.graph import COO, joint_bipartite_coo
 from ..ops import losses as L
 from ..ops.spmm import (
+    DENSE_JOINT_LIMIT,
+    DenseMat,
     DeviceCOO,
     lightgcn_propagate,
     renormalize_vals,
@@ -44,7 +46,21 @@ def _row_norm(m: sp.spmatrix) -> sp.csr_matrix:
     return (sp.diags(d_inv) @ m).tocsr()
 
 
-def _dev(m: sp.spmatrix) -> DeviceCOO:
+def _dev(m: sp.spmatrix):
+    """Device operator for an auxiliary adjacency (motif/social/incidence).
+
+    On TPU, matrices under the dense budget become one bf16 MXU matmul
+    (ops/spmm.DenseMat) — random gather runs at ~2% of HBM bandwidth there,
+    and these fixed per-step propagations dominate the MHCN/SEPT/DiffNet
+    epoch. Elsewhere (and past the budget) the sorted-COO path is used.
+    """
+    import jax
+
+    if (
+        jax.default_backend() == "tpu"
+        and m.shape[0] * m.shape[1] <= DENSE_JOINT_LIMIT
+    ):
+        return DenseMat.from_scipy(m)
     return DeviceCOO.from_host(COO.from_scipy(m))
 
 

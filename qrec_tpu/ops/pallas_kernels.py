@@ -408,3 +408,127 @@ def weighted_segment_matmul_xla(
     ).astype(jnp.int32)
     g = gathered.astype(jnp.float32) * vals.reshape(-1, 1)
     return jax.ops.segment_sum(g, rows, num_segments=num_blocks * row_block)
+
+
+# ---------------------------------------------------------------------------
+# bipartite dual-product: {A @ xi, Aᵀ @ xu} in ONE pass over A
+# ---------------------------------------------------------------------------
+
+DUAL_U_TILE = 512
+DUAL_I_TILE = 1024
+
+
+def _dual_kernel(a_ref, xu_ref, xi_ref, ou_ref, oi_ref):
+    """Grid step (u, i): stream one A tile, update both partial products.
+
+    The joint LightGCN propagation ``[[0,A],[Aᵀ,0]] @ [xu; xi]`` reads the
+    (U, I) adjacency twice per application on the two-matmul XLA path (once
+    as A, once as Aᵀ) — and the adjacency is the dominant HBM traffic of the
+    whole training step (67 MB bf16 at lastfm scale vs <4 MB of activations).
+    Computing both products from the same streamed tile halves adjacency
+    traffic per application; with the symmetric-VJP backward (ops/spmm) the
+    full fwd+bwd step does 4 single-pass applications instead of 8 reads.
+    """
+    u = pl.program_id(0)
+    i = pl.program_id(1)
+    a = a_ref[...]  # (UT, IT) bf16
+    ut, it = a.shape
+    xu_t = xu_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :]  # (UT, d)
+    xi_t = xi_ref[pl.ds(pl.multiple_of(i * it, it), it), :]  # (IT, d)
+    pu = jax.lax.dot_general(
+        a, xi_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (UT, d) = A_tile @ xi_t
+    # Aᵀ product in (d, IT) layout: contracting dim 0 of BOTH operands only
+    # relayouts the small (UT, d) x tile — transposing the (UT, IT) A tile
+    # itself on the VPU would cost more than the matmul
+    pi = jax.lax.dot_general(
+        xu_t, a,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (d, IT) = xu_tᵀ @ A_tile
+
+    @pl.when(i == 0)
+    def _():
+        ou_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :] = pu
+
+    @pl.when(i != 0)
+    def _():
+        ou_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :] += pu
+
+    @pl.when(u == 0)
+    def _():
+        oi_ref[:, pl.ds(pl.multiple_of(i * it, it), it)] = pi
+
+    @pl.when(u != 0)
+    def _():
+        oi_ref[:, pl.ds(pl.multiple_of(i * it, it), it)] += pi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bipartite_dual_matmul(
+    a_p: jnp.ndarray,  # (Up, Ip) bf16, zero-padded to the dual tile grid
+    xu: jnp.ndarray,  # (Up, d) bf16
+    xi: jnp.ndarray,  # (Ip, d) bf16
+    interpret: bool = False,
+):
+    """``(A @ xi, Aᵀ @ xu)`` with f32 accumulation, one HBM pass over A.
+
+    The x/out arrays ride whole in VMEM (a few MB at dense-budget scale);
+    only adjacency tiles stream. Callers pad Up/Ip via ``dual_pad_sizes``.
+    """
+    up, ip = a_p.shape
+    ut = up if up < DUAL_U_TILE else DUAL_U_TILE
+    it = ip if ip < DUAL_I_TILE else DUAL_I_TILE
+    assert up % ut == 0 and ip % it == 0, "pad A to the dual tile grid"
+    d = xu.shape[1]
+    grid = (up // ut, ip // it)
+    ou, oi_t = pl.pallas_call(
+        _dual_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ut, it), lambda u, i: (u, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((up, d), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ip, d), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((up, d), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ip), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((up, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, ip), jnp.float32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(a_p, xu, xi)
+    return ou, oi_t.T
+
+
+def bipartite_dual_matmul_xla(a_p, xu, xi):
+    """Reference/fallback implementation with identical semantics."""
+    ou = jnp.dot(a_p, xi, preferred_element_type=jnp.float32)
+    oi = jax.lax.dot_general(
+        a_p, xu,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return ou, oi
+
+
+def dual_pad_sizes(num_users: int, num_items: int):
+    """(Up, Ip) the dual kernel needs for a (num_users, num_items) A."""
+    up = (
+        _round_up(num_users, 16)  # bf16 sublane tile
+        if num_users < DUAL_U_TILE
+        else _round_up(num_users, DUAL_U_TILE)
+    )
+    ip = (
+        _round_up(num_items, 128)
+        if num_items < DUAL_I_TILE
+        else _round_up(num_items, DUAL_I_TILE)
+    )
+    return up, ip

@@ -57,13 +57,19 @@ class DenseJoint(NamedTuple):
     r_hat: jnp.ndarray  # (U, I), bf16
     r_hat_t: jnp.ndarray  # (I, U), bf16
     num_users: int
+    # padded copy for the single-pass dual-product Pallas kernel (TPU only;
+    # None = use the two-matmul XLA path). Adjacency reads dominate the HBM
+    # traffic of every DenseJoint training step, and the dual kernel halves
+    # them — see pallas_kernels.bipartite_dual_matmul.
+    r_hat_p: Optional[jnp.ndarray] = None
+    dual_interpret: bool = False
 
     @property
     def num_rows(self) -> int:
         return self.r_hat.shape[0] + self.r_hat.shape[1]
 
     @classmethod
-    def from_interactions(cls, data) -> "DenseJoint":
+    def from_interactions(cls, data, dual: bool = False, dual_interpret: bool = False) -> "DenseJoint":
         """Build D^-1/2 R D^-1/2 densely (binary interactions, matching
         base/graphRecommender.py:10-29)."""
         import numpy as np
@@ -76,17 +82,51 @@ class DenseJoint(NamedTuple):
         r = np.zeros((data.num_users, data.num_items), dtype=np.float32)
         r[u, i] = vals
         r_d = jnp.asarray(r, dtype=jnp.bfloat16)
-        return cls(r_d, r_d.T, data.num_users)
+        r_p = None
+        if dual:
+            from .pallas_kernels import dual_pad_sizes
+
+            up, ip = dual_pad_sizes(data.num_users, data.num_items)
+            rp = np.zeros((up, ip), dtype=np.float32)
+            rp[: data.num_users, : data.num_items] = r
+            r_p = jnp.asarray(rp, dtype=jnp.bfloat16)
+        return cls(r_d, r_d.T, data.num_users, r_p, dual_interpret)
 
 
 # entry budget for the dense-bipartite path (~1.2 GB at bf16)
 DENSE_JOINT_LIMIT = 600_000_000
 
+
+class DenseMat(NamedTuple):
+    """Generic small-matrix dense backend: one bf16 MXU matmul with f32
+    accumulation.
+
+    TPU random gather/scatter runs at ~2% of HBM bandwidth, so any
+    auxiliary adjacency that fits the dense budget (social/motif matrices —
+    MHCN's H_s/H_j/H_p, SEPT's friend/sharing views, DiffNet's S, DHCF's
+    incidences) is faster as a dense matmul than as gather + segment_sum,
+    exactly like the joint adjacency's DenseJoint path. Same precision
+    class: bf16 values, f32 accumulation.
+    """
+
+    mat: jnp.ndarray  # (m, n) bf16
+
+    @property
+    def num_rows(self) -> int:
+        return self.mat.shape[0]
+
+    @classmethod
+    def from_scipy(cls, m) -> "DenseMat":
+        return cls(jnp.asarray(m.toarray(), dtype=jnp.bfloat16))
+
 # directed-edge threshold at which auto view/propagation backends prefer
-# the Pallas one-hot MXU kernel over XLA segment_sum (measured crossover
-# on v5e: 24.5 ms vs 5.2 ms per fwd+bwd at 854k edges; roughly break-even
-# net of compile overhead below a few hundred thousand edges)
-VIEW_PALLAS_MIN_EDGES = 400_000
+# the Pallas one-hot MXU kernel over XLA segment_sum (measured on v5e:
+# 24.5 ms vs 5.2 ms per fwd+bwd at 854k edges, 3.56 ms vs 1.37 ms at 168k —
+# PARITY.md). SSL models run 4+ view applications per STEP, so the
+# steady-state win dominates the one-time Mosaic compile (~30-60 s through
+# the remote tunnel, amortized across runs by the persistent compilation
+# cache); only very small graphs stay on XLA scatter.
+VIEW_PALLAS_MIN_EDGES = 100_000
 
 
 def _dense_joint_matmul(adj: DenseJoint, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,14 +138,72 @@ def _dense_joint_matmul(adj: DenseJoint, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([out_u, out_i])
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dual_joint_matmul(a_p, x, num_users: int, num_items: int, interpret: bool):
+    """Joint propagation through the single-pass dual kernel.
+
+    The joint matrix M = [[0, A], [Aᵀ, 0]] is symmetric, so the VJP of
+    ``y = M @ x`` is ``dx = M @ dy`` — the backward IS the same kernel on
+    the cotangent, and A streams from HBM exactly once per fwd and once per
+    bwd application (vs twice each on the two-matmul XLA path).
+    """
+    return _dual_call(a_p, x, num_users, num_items, interpret)
+
+
+def _dual_call(a_p, x, num_users, num_items, interpret):
+    from .pallas_kernels import bipartite_dual_matmul
+
+    up, ip = a_p.shape
+    xu = x[:num_users].astype(jnp.bfloat16)
+    xi = x[num_users:].astype(jnp.bfloat16)
+    if up != num_users:
+        xu = jnp.concatenate(
+            [xu, jnp.zeros((up - num_users, xu.shape[1]), xu.dtype)]
+        )
+    if ip != num_items:
+        xi = jnp.concatenate(
+            [xi, jnp.zeros((ip - num_items, xi.shape[1]), xi.dtype)]
+        )
+    ou, oi = bipartite_dual_matmul(a_p, xu, xi, interpret=interpret)
+    return jnp.concatenate([ou[:num_users], oi[:num_items]])
+
+
+def _dual_fwd(a_p, x, num_users, num_items, interpret):
+    return _dual_call(a_p, x, num_users, num_items, interpret), a_p
+
+
+def _dual_bwd(num_users, num_items, interpret, a_p, g):
+    # cotangent for the (constant) adjacency is never consumed — zeros are
+    # dead-code-eliminated under jit
+    return (
+        jnp.zeros_like(a_p),
+        _dual_call(a_p, g, num_users, num_items, interpret),
+    )
+
+
+_dual_joint_matmul.defvjp(_dual_fwd, _dual_bwd)
+
+
 def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """``A @ x`` for a row-sorted COO or DenseJoint ``A`` and dense ``x``.
 
     ``vals`` overrides the stored edge weights (used for on-device edge
     dropout / augmented views without rebuilding index arrays) — COO only.
     """
+    if isinstance(adj, DenseMat):
+        assert vals is None, "per-edge values need the COO path"
+        return jnp.dot(
+            adj.mat,
+            x.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     if isinstance(adj, DenseJoint):
         assert vals is None, "per-edge values need the COO path"
+        if adj.r_hat_p is not None:
+            nu = adj.num_users
+            return _dual_joint_matmul(
+                adj.r_hat_p, x, nu, adj.r_hat.shape[1], adj.dual_interpret
+            )
         return _dense_joint_matmul(adj, x)
     if isinstance(adj, PaddedCOO):
         v = adj.vals if vals is None else adj.pad_vals(vals)
@@ -396,9 +494,9 @@ def view_adjacency(rows, cols, n_nodes: int, config=None, mesh=None):
             n_nodes,
             n_nodes,
         )
-    # auto only flips to the kernel for big graphs: below ~400k directed
-    # edges XLA's scatter is already sub-ms and the extra Mosaic compiles
-    # (~30-60 s through the remote-compile tunnel) dominate any win
+    # auto flips to the kernel above the edge threshold (see
+    # VIEW_PALLAS_MIN_EDGES) — tiny graphs stay on XLA scatter where the
+    # extra Mosaic compile would never amortize
     big = len(rows) >= VIEW_PALLAS_MIN_EDGES
     on_tpu = jax.default_backend() == "tpu"
     # auto requires TPU; an explicit backend=pallas is honored everywhere

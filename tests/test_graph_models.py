@@ -99,3 +99,23 @@ def test_sgl_augmentation_types(tmp_path):
         )
         measure = QRec(conf, seed=1).execute()
         assert parse_measure(measure)["Top 10"]["Recall"] > 0.3
+
+
+def test_dense_dual_backend_matches_xla(tmp_path):
+    """LightGCN trained through the single-pass dual-product Pallas kernel
+    (graph.dense.dual=on, interpret mode on CPU) matches the two-matmul XLA
+    dense path within bf16 accumulation-order noise."""
+    ratings = _write_block_dataset(tmp_path)
+    extra = {"LightGCN": "-n_layer 2", "num.max.epoch": "15"}
+    m_dual = QRec(
+        _conf(tmp_path, ratings, "LightGCN", {**extra, "graph.dense.dual": "on"}),
+        seed=3,
+    ).execute()
+    m_xla = QRec(
+        _conf(tmp_path, ratings, "LightGCN", {**extra, "graph.dense.dual": "off"}),
+        seed=3,
+    ).execute()
+    rd = parse_measure(m_dual)["Top 10"]
+    rx = parse_measure(m_xla)["Top 10"]
+    assert rd["Recall"] > 0.5, rd
+    assert abs(rd["Recall"] - rx["Recall"]) < 0.05, (rd, rx)

@@ -288,3 +288,21 @@ def test_view_adjacency_pallas_matches_coo_on_subgraph_vals(tiny_data):
     got = spmm(padded, x, vals)
     want = spmm(dev, x, vals)
     assert np.allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+
+
+def test_densemat_matches_coo():
+    """DenseMat (bf16 MXU backend for auxiliary adjacencies) matches the
+    sorted-COO segment-sum path within bf16 value precision."""
+    import scipy.sparse as _sp
+
+    from qrec_tpu.data.graph import COO as _COO
+    from qrec_tpu.ops.spmm import DenseMat
+
+    rng = np.random.RandomState(3)
+    m = _sp.random(60, 45, density=0.1, random_state=rng, format="csr")
+    x = jnp.asarray(rng.randn(45, 8).astype(np.float32))
+    dense = spmm(DenseMat.from_scipy(m), x)
+    coo = spmm(DeviceCOO.from_host(_COO.from_scipy(m.tocoo())), x)
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(coo), rtol=1e-2, atol=1e-2
+    )

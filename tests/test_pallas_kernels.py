@@ -127,3 +127,57 @@ def test_resolve_ssl_backend_policy(monkeypatch):
     assert L.resolve_ssl_backend(conf2, 64) == ("pallas", True)
     with pytest.raises(ConfigError):
         L.resolve_ssl_backend(ModelConf({"ssl.backend": "bogus"}), 64)
+
+
+# ---------------------------------------------------------------------------
+# bipartite dual-product kernel
+# ---------------------------------------------------------------------------
+
+
+def _dual_case(u, i, d, seed=0):
+    from qrec_tpu.ops.pallas_kernels import dual_pad_sizes
+
+    rng = np.random.RandomState(seed)
+    up, ip = dual_pad_sizes(u, i)
+    a = np.zeros((up, ip), dtype=np.float32)
+    a[:u, :i] = (rng.rand(u, i) < 0.05) * rng.rand(u, i)
+    a_p = jnp.asarray(a, dtype=jnp.bfloat16)
+    xu = jnp.asarray(rng.randn(up, d).astype(np.float32)).astype(jnp.bfloat16)
+    xi = jnp.asarray(rng.randn(ip, d).astype(np.float32)).astype(jnp.bfloat16)
+    return a_p, xu, xi
+
+
+@pytest.mark.parametrize("u,i,d", [(37, 211, 16), (600, 1100, 50)])
+def test_bipartite_dual_matmul_interpret(u, i, d):
+    from qrec_tpu.ops.pallas_kernels import (
+        bipartite_dual_matmul,
+        bipartite_dual_matmul_xla,
+    )
+
+    a_p, xu, xi = _dual_case(u, i, d)
+    ou, oi = bipartite_dual_matmul(a_p, xu, xi, interpret=True)
+    ru, ri = bipartite_dual_matmul_xla(a_p, xu, xi)
+    np.testing.assert_allclose(np.asarray(ou), np.asarray(ru), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), rtol=2e-3, atol=2e-3)
+
+
+def test_dual_joint_matmul_grad_matches_xla(tiny_data):
+    """The symmetric-VJP dual path must match the two-matmul XLA path in
+    both the propagation output and the gradients through it."""
+    from qrec_tpu.ops.spmm import DenseJoint, lightgcn_propagate
+
+    data = tiny_data
+    adj_dual = DenseJoint.from_interactions(data, dual=True, dual_interpret=True)
+    adj_xla = DenseJoint.from_interactions(data)
+    n = adj_xla.num_rows
+    rng = np.random.RandomState(1)
+    e = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+
+    def loss(e, adj):
+        out = lightgcn_propagate(adj, e, 2)
+        return jnp.sum(out**2)
+
+    l1, g1 = jax.value_and_grad(loss)(e, adj_dual)
+    l2, g2 = jax.value_and_grad(loss)(e, adj_xla)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3, atol=5e-3)
