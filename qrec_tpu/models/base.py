@@ -128,14 +128,40 @@ class Recommender:
             dot = np.zeros(len(uids))
         return self._mean_fallback(uids, iids, dot)
 
-    # -- persistence hooks (reference: base/recommender.py:74-78) ---------
+    # -- persistence hooks (reference: base/recommender.py:74-78; driven
+    # from config via ``model.setup=-save/-load <path>``, runtime/session.py)
+    def _extra_state(self) -> dict:
+        """Extra arrays beyond U/V a subclass needs for scoring (override)."""
+        return {}
+
+    def _set_extra_state(self, state: dict) -> None:
+        pass
+
     def save_model(self, path: str) -> None:
-        if self.U is not None:
-            np.savez(path, U=np.asarray(self.U), V=np.asarray(self.V))
+        if self.U is None or self.V is None:
+            raise RuntimeError(
+                f"{self.model_name}: nothing to save — fit() or load first"
+            )
+        import os
+
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        np.savez(
+            path,
+            U=np.asarray(self.U),
+            V=np.asarray(self.V),
+            **{k: np.asarray(v) for k, v in self._extra_state().items()},
+        )
 
     def load_model(self, path: str) -> None:
+        if not path.endswith(".npz"):
+            path = path + ".npz"  # np.savez appends it on save
         z = np.load(path)
         self.U, self.V = jnp.asarray(z["U"]), jnp.asarray(z["V"])
+        self._set_extra_state(
+            {k: jnp.asarray(z[k]) for k in z.files if k not in ("U", "V")}
+        )
 
 
 class TrainSpec:
@@ -578,11 +604,17 @@ class IterativeRecommender(Recommender):
                         # timer.last is still the previous (completed) epoch's
                         # interval — exactly the epoch whose loss prints here
                         p_epoch, p_loss, p_lr = pending
-                        _emit(p_epoch, float(p_loss), p_lr, timer.last)
+                        p_loss = float(p_loss)
+                        T.check_finite(p_loss)
+                        _emit(p_epoch, p_loss, p_lr, timer.last)
                     pending = (epoch, loss, bold.lr if bold else self.lrate)
                     loss_val = None
                 else:
                     loss_val = float(loss)
+                    if conv is None:
+                        # adam-mode NaN abort (iterativeRecommender.py:84-87);
+                        # bold mode checks inside conv.check below
+                        T.check_finite(loss_val)
             lr = bold.lr if bold else self.lrate
             if not pipelined:
                 _emit(epoch, loss_val, lr, timer.last)
@@ -628,7 +660,9 @@ class IterativeRecommender(Recommender):
                 )
         if pending is not None:
             p_epoch, p_loss, p_lr = pending
-            _emit(p_epoch, float(p_loss), p_lr, timer.last)
+            p_loss = float(p_loss)
+            T.check_finite(p_loss)
+            _emit(p_epoch, p_loss, p_lr, timer.last)
         if tracker is not None:
             # actual epochs executed (bold-mode convergence can break early);
             # max_epoch here would skew best_epoch for shared trackers
@@ -727,8 +761,22 @@ class GraphRecommender(IterativeRecommender):
                         "graph.dense.dual=on is single-device only; using"
                         " the partitionable two-matmul path under the mesh"
                     )
+                # auto only engages when the kernel's pinned VMEM working set
+                # (x inputs + f32 accumulators + streamed A tile) fits the
+                # Mosaic budget — a skewed shape within the dense entry
+                # budget would fail compilation where the two-matmul XLA
+                # path works. An explicit =on is honored as requested.
+                from ..ops.pallas_kernels import DUAL_VMEM_LIMIT, dual_vmem_bytes
+
+                dual_fits_vmem = (
+                    dual_vmem_bytes(
+                        self.num_users, self.num_items, self.emb_size
+                    )
+                    <= int(DUAL_VMEM_LIMIT * 0.9)
+                )
                 use_dual = not on_mesh and (
-                    dual_conf == "on" or (dual_conf == "auto" and on_tpu)
+                    dual_conf == "on"
+                    or (dual_conf == "auto" and on_tpu and dual_fits_vmem)
                 )
                 self._joint_adj = DenseJoint.from_interactions(
                     self.data,

@@ -107,6 +107,13 @@ class SVD(IterativeRecommender):
         self.Bu = params["user_bias"]
         self.Bi = params["item_bias"]
 
+    def _extra_state(self):
+        return {"user_bias": self.Bu, "item_bias": self.Bi}
+
+    def _set_extra_state(self, state):
+        self.Bu = state["user_bias"]
+        self.Bi = state["item_bias"]
+
     def predict_ratings(self, users, items):
         uids, iids = self._ids(users, items)
         known = (uids >= 0) & (iids >= 0)

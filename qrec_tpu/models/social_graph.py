@@ -46,19 +46,43 @@ def _row_norm(m: sp.spmatrix) -> sp.csr_matrix:
     return (sp.diags(d_inv) @ m).tocsr()
 
 
-def _dev(m: sp.spmatrix):
+class DenseBudget:
+    """Cumulative dense-entry budget across ONE model's auxiliary matrices.
+
+    The dense budget is meant as an HBM ceiling; applying it per matrix lets
+    a model that materializes several aux adjacencies (MHCN: h_s/h_j/h_p/R/Rᵀ
+    plus the joint adjacency) use a multiple of it in aggregate. Each model's
+    ``build()`` creates one tracker and passes it to every ``_dev`` call;
+    once the shared pool is spent, later matrices fall back to DeviceCOO.
+    """
+
+    def __init__(self, total: int = DENSE_JOINT_LIMIT):
+        self.remaining = total
+
+    def take(self, entries: int) -> bool:
+        if entries <= self.remaining:
+            self.remaining -= entries
+            return True
+        return False
+
+
+def _dev(m: sp.spmatrix, budget: "DenseBudget" = None):
     """Device operator for an auxiliary adjacency (motif/social/incidence).
 
     On TPU, matrices under the dense budget become one bf16 MXU matmul
     (ops/spmm.DenseMat) — random gather runs at ~2% of HBM bandwidth there,
     and these fixed per-step propagations dominate the MHCN/SEPT/DiffNet
     epoch. Elsewhere (and past the budget) the sorted-COO path is used.
+    bf16 storage is the same precision class as the DenseJoint backend
+    (~0.4% relative error on edge weights).
     """
     import jax
 
+    entries = m.shape[0] * m.shape[1]
     if (
         jax.default_backend() == "tpu"
-        and m.shape[0] * m.shape[1] <= DENSE_JOINT_LIMIT
+        and entries <= DENSE_JOINT_LIMIT
+        and (budget is None or budget.take(entries))
     ):
         return DenseMat.from_scipy(m)
     return DeviceCOO.from_host(COO.from_scipy(m))
@@ -166,10 +190,11 @@ class MHCN(SocialRecommender, GraphRecommender):
         )
 
     def build(self):
-        h_s, h_j, h_p = map(_dev, self._motif_matrices())
+        budget = DenseBudget()
+        h_s, h_j, h_p = (_dev(m, budget) for m in self._motif_matrices())
         r_mat = self._joint_r()
-        r_dev = _dev(r_mat)
-        rt_dev = _dev(r_mat.T)
+        r_dev = _dev(r_mat, budget)
+        rt_dev = _dev(r_mat.T, budget)
         d = self.emb_size
         rng = jax.random.PRNGKey(self.seed)
         ks = jax.random.split(rng, 20)
@@ -610,7 +635,8 @@ class DiffNet(SocialRecommender, GraphRecommender):
         s_mat = sp.csr_matrix(
             (s_vals, (src, dst)), shape=(self.num_users, self.num_users)
         )
-        s_dev = _dev(s_mat)
+        budget = DenseBudget()
+        s_dev = _dev(s_mat, budget)
         # row-normalized rating matrix 1/|I_u| (graphRecommender.py:41-51)
         du = np.maximum(np.diff(self.data.u_indptr), 1).astype(np.float32)
         a_mat = sp.csr_matrix(
@@ -620,7 +646,7 @@ class DiffNet(SocialRecommender, GraphRecommender):
             ),
             shape=(self.num_users, self.num_items),
         )
-        a_dev = _dev(a_mat)
+        a_dev = _dev(a_mat, budget)
         d = self.emb_size
         params = self.init_embeddings("normal")
         ks = jax.random.split(jax.random.PRNGKey(self.seed + 3), self.n_layers)
@@ -692,8 +718,9 @@ class DHCF(GraphRecommender):
             # D_v^-1/2 H D_e^-1 H^T D_v^-1/2 (DHCF.py:33-50)
             return (dv @ h @ de @ h.T @ dv).tocsr()
 
-        a_u = _dev(hyper_norm(a))
-        a_i = _dev(hyper_norm(a.T.tocsr()))
+        budget = DenseBudget()
+        a_u = _dev(hyper_norm(a), budget)
+        a_i = _dev(hyper_norm(a.T.tocsr()), budget)
         d = self.emb_size
         params = self.init_embeddings("normal")
         ks = jax.random.split(jax.random.PRNGKey(self.seed + 5), self.n_layers)

@@ -519,6 +519,26 @@ def bipartite_dual_matmul_xla(a_p, xu, xi):
     return ou, oi
 
 
+DUAL_VMEM_LIMIT = 96 * 1024 * 1024  # vmem_limit_bytes passed to Mosaic
+
+
+def dual_vmem_bytes(num_users: int, num_items: int, d: int) -> int:
+    """Estimated VMEM footprint of ``bipartite_dual_matmul`` for a
+    (num_users, num_items) adjacency with embedding dim ``d``: the x inputs
+    and both f32 accumulators are pinned WHOLE in VMEM; only A tiles stream
+    (double-buffered). Used to gate the ``graph.dense.dual=auto`` path — a
+    skewed shape inside the dense entry budget (e.g. I≈500k, d=50) overflows
+    the accumulator pinning even though the two-matmul XLA path is fine."""
+    up, ip = dual_pad_sizes(num_users, num_items)
+    ut = up if up < DUAL_U_TILE else DUAL_U_TILE
+    it = ip if ip < DUAL_I_TILE else DUAL_I_TILE
+    return (
+        2 * ut * it * 2  # A tile, bf16, double-buffered
+        + (up + ip) * d * 2  # xu + xi, bf16
+        + (up + ip) * d * 4  # ou + oiᵀ, f32
+    )
+
+
 def dual_pad_sizes(num_users: int, num_items: int):
     """(Up, Ip) the dual kernel needs for a (num_users, num_items) A."""
     up = (

@@ -13,7 +13,15 @@ from typing import Dict, List, Optional
 
 
 class StepTimer:
-    """Accumulates epoch wall-times and derived throughput."""
+    """Accumulates epoch wall-times and derived throughput.
+
+    Note on pipelined (lag-1) training loops: there the timed block contains
+    the dispatch of epoch ``e`` plus the completion wait of epoch ``e-1``, so
+    interval ``e`` is the steady-state cost of ONE epoch but is offset by one
+    from the loss printed next to it, and the first interval is mostly
+    compile/dispatch. ``steady_state`` skips the first interval; per-epoch
+    attribution in pipelined mode is intentionally approximate.
+    """
 
     def __init__(self, examples_per_epoch: int = 0):
         self.examples_per_epoch = examples_per_epoch

@@ -48,8 +48,20 @@ def run_fold(
         log.add(k + "=" + config[k])
     if fold == "[1]":
         model.print_config()
-    print(f"Building Model {fold}...")
-    model.fit()
+    # config-driven model persistence: ``model.setup=-load <path>`` skips
+    # training and restores saved factors; ``-save <path>`` writes them after
+    # evaluation (reference lifecycle hooks base/recommender.py:186-189 and
+    # :208-211 — isLoadModel/isSaveModel, which the reference never wires to
+    # config; here the .conf surface drives them)
+    msetup = (
+        config.options("model.setup") if config.contains("model.setup") else None
+    )
+    if msetup is not None and msetup.contains("-load"):
+        print(f"Loading model {fold}...")
+        model.load_model(msetup["-load"])
+    else:
+        print(f"Building Model {fold}...")
+        model.fit()
     timer = getattr(model, "_last_timer", None)
     if timer is not None and timer.times:
         s = timer.summary()
@@ -61,6 +73,9 @@ def run_fold(
         )
     print(f"Predicting {fold}...")
     measure = evaluator.evaluate(model, data, config, fold, log)
+    if msetup is not None and msetup.contains("-save"):
+        print(f"Saving model {fold}...")
+        model.save_model(msetup["-save"])
     return measure, model
 
 

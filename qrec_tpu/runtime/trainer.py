@@ -111,6 +111,19 @@ class BestTracker:
         return False
 
 
+def check_finite(loss: float) -> None:
+    """NaN/Inf abort for EVERY iterative model — the reference kills any
+    run whose epoch loss diverges (base/iterativeRecommender.py:84-87), not
+    just the bold-driver family. Called at each point where the epoch loss
+    is materialized on the host (per-epoch in sync modes; lag-1 in the
+    pipelined adam path, which is the earliest the loss exists host-side)."""
+    if math.isnan(loss) or math.isinf(loss):
+        raise ConvergenceError(
+            "Loss = NaN or Infinity: current settings does not fit the "
+            "recommender! Change the settings and try again!"
+        )
+
+
 class ConvergenceMonitor:
     """``|Δloss| < 1e-3`` + NaN abort (base/iterativeRecommender.py:82-102)."""
 
@@ -119,11 +132,7 @@ class ConvergenceMonitor:
         self.last_loss = 0.0
 
     def check(self, loss: float) -> bool:
-        if math.isnan(loss) or math.isinf(loss):
-            raise ConvergenceError(
-                "Loss = NaN or Infinity: current settings do not fit the "
-                "recommender! Change the settings and try again!"
-            )
+        check_finite(loss)
         delta = self.last_loss - loss
         converged = abs(delta) < self.tol
         self.last_loss = loss
