@@ -131,29 +131,37 @@ def main():
     # ---- hardware-anchored utilization (PARITY.md roofline) -------------
     # DenseJoint propagation flops: 2·U·I·d per bipartite matmul, 2 matmuls
     # per application, n_layer applications fwd + the same again bwd
-    # (symmetric VJP) — everything else in the step is lower-order.
+    # (symmetric VJP) — everything else in the step is lower-order. The
+    # formulas assume the DenseJoint backend on a v5e chip; on any other
+    # backend/graph path the roofline fields are meaningless and emitted
+    # as null.
+    from qrec_tpu.ops.spmm import DenseJoint
+
     u_n, i_n, d_f = data.num_users, data.num_items, model.emb_size
     steps = (n_train + model.batch_size - 1) // model.batch_size
     n_layers = getattr(model, "n_layers", 2)
-    flops_epoch = steps * 2 * n_layers * 2 * (2 * u_n * i_n * d_f)
-    tflops = flops_epoch / dt_dev / 1e12
     V5E_BF16_PEAK_TFLOPS = 197.0  # one v5e chip
     V5E_HBM_GBPS = 819.0
-    # adjacency bytes per epoch: one (U, I) bf16 stream per single-pass
-    # dual-product application (fwd and bwd each run n_layer applications);
-    # the two-matmul XLA path reads it twice per application
-    n_pass = 1 if getattr(model.joint_adj, "r_hat_p", None) is not None else 2
-    adj_bytes_epoch = steps * 2 * n_layers * n_pass * (2 * u_n * i_n)
-    adj_gbps = adj_bytes_epoch / dt_dev / 1e9
-    if backend == "tpu" and not args.json_only:
-        print(
-            f"[bench] propagation: {tflops:.1f} TFLOP/s "
-            f"({100 * tflops / V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak; "
-            f"d={d_f} caps MXU lanes at {min(1.0, d_f / 128):.0%}), "
-            f"adjacency stream {adj_gbps:.0f} GB/s "
-            f"({100 * adj_gbps / V5E_HBM_GBPS:.0f}% of HBM peak)",
-            file=sys.stderr,
-        )
+    roofline_valid = backend == "tpu" and isinstance(model.joint_adj, DenseJoint)
+    tflops = adj_gbps = None
+    if roofline_valid:
+        flops_epoch = steps * 2 * n_layers * 2 * (2 * u_n * i_n * d_f)
+        tflops = flops_epoch / dt_dev / 1e12
+        # adjacency bytes per epoch: one (U, I) bf16 stream per single-pass
+        # dual-product application (fwd and bwd each run n_layer
+        # applications); the two-matmul XLA path reads it twice each
+        n_pass = 1 if model.joint_adj.r_hat_p is not None else 2
+        adj_bytes_epoch = steps * 2 * n_layers * n_pass * (2 * u_n * i_n)
+        adj_gbps = adj_bytes_epoch / dt_dev / 1e9
+        if not args.json_only:
+            print(
+                f"[bench] propagation: {tflops:.1f} TFLOP/s "
+                f"({100 * tflops / V5E_BF16_PEAK_TFLOPS:.1f}% of v5e bf16 peak; "
+                f"d={d_f} caps MXU lanes at {min(1.0, d_f / 128):.0%}), "
+                f"adjacency stream {adj_gbps:.0f} GB/s "
+                f"({100 * adj_gbps / V5E_HBM_GBPS:.0f}% of HBM peak)",
+                file=sys.stderr,
+            )
 
     # ---- full-catalog top-k eval throughput (BASELINE.json names it) ----
     # one jitted device pass over all test users: (B, I) MXU score blocks,
@@ -184,6 +192,58 @@ def main():
             f"({eval_items_per_sec:,.0f} scored items/s)",
             file=sys.stderr,
         )
+
+    # ---- Pallas fused-masked-scorer eval vs the XLA ranker path ---------
+    # (the TPU default eval backend since round 2 — evidence that the fused
+    # kernel's win is real, captured in the emitted JSON)
+    eval_pallas_ms = None
+    if backend == "tpu":
+        try:
+            from qrec_tpu.ops.topk import pallas_catalog_topk
+
+            U_f, V_f = sp["user_emb"], sp["item_emb"]
+            ids_p, _ = pallas_catalog_topk(
+                U_f, V_f, ranker.uids, model.rated_bitmask, data.global_mean, 10
+            )
+            jax.block_until_ready(ids_p)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                ids_p, _ = pallas_catalog_topk(
+                    U_f, V_f, ranker.uids, model.rated_bitmask,
+                    data.global_mean, 10,
+                )
+            jax.block_until_ready(ids_p)
+            eval_pallas_ms = (time.perf_counter() - t0) / reps * 1e3
+            if not args.json_only:
+                print(
+                    f"[bench] eval backends: pallas fused scorer "
+                    f"{eval_pallas_ms:.1f} ms vs XLA ranker "
+                    f"{eval_s * 1e3:.1f} ms "
+                    f"({eval_s * 1e3 / eval_pallas_ms:.2f}x)",
+                    file=sys.stderr,
+                )
+        except Exception as e:
+            print(f"[bench] pallas eval bench failed: {e}", file=sys.stderr)
+
+    # ---- SSL-family epoch (SimGCL: 3 propagations + InfoNCE per step) ----
+    simgcl_epoch_ms = simgcl_eps = None
+    try:
+        conf_ssl = type(conf)(dict(conf.config))
+        conf_ssl.config["model.name"] = "SimGCL"
+        conf_ssl.config["SimGCL"] = "-n_layer 2 -lambda 0.1 -eps 0.1"
+        model_ssl = get_model("SimGCL")(conf_ssl, data)
+        spec_ssl = model_ssl.build()
+        dt_ssl, _ = time_epochs(model_ssl, spec_ssl, max(2, args.epochs // 2))
+        simgcl_epoch_ms = dt_ssl * 1e3
+        simgcl_eps = n_train / dt_ssl
+        if not args.json_only:
+            print(
+                f"[bench] SimGCL lastfm epoch on {backend}: "
+                f"{simgcl_epoch_ms:.1f} ms ({simgcl_eps:,.0f} examples/s)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] SimGCL bench failed: {e}", file=sys.stderr)
 
     vs_baseline = float("nan")
     try:
@@ -220,14 +280,30 @@ def main():
                     "epoch_ms": round(dt_dev * 1e3, 2),
                     "eval_topk_items_per_sec": round(eval_items_per_sec, 0),
                     "eval_ms_all_test_users": round(eval_s * 1e3, 2),
+                    "eval_pallas_fused_ms": round(eval_pallas_ms, 2)
+                    if eval_pallas_ms is not None
+                    else None,
+                    "simgcl_epoch_ms": round(simgcl_epoch_ms, 2)
+                    if simgcl_epoch_ms is not None
+                    else None,
+                    "simgcl_examples_per_sec": round(simgcl_eps, 0)
+                    if simgcl_eps is not None
+                    else None,
                     "backend": backend,
-                    "propagation_tflops": round(tflops, 2),
+                    # roofline fields are DenseJoint-on-v5e specific; null
+                    # on other backends/graph paths where the formulas and
+                    # constants do not apply
+                    "propagation_tflops": round(tflops, 2)
+                    if roofline_valid
+                    else None,
                     "mfu_vs_v5e_bf16_peak": round(
                         tflops / V5E_BF16_PEAK_TFLOPS, 4
                     )
-                    if backend == "tpu"
+                    if roofline_valid
                     else None,
-                    "adjacency_stream_gbps": round(adj_gbps, 1),
+                    "adjacency_stream_gbps": round(adj_gbps, 1)
+                    if roofline_valid
+                    else None,
                 },
             }
         )

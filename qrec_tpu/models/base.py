@@ -410,6 +410,14 @@ class IterativeRecommender(Recommender):
         raise NotImplementedError
 
     def finalize(self, params, spec: "TrainSpec") -> None:
+        """Map trained params onto the model's prediction attributes.
+
+        CONTRACT: must be idempotent, cheap, and a pure function of
+        ``params`` — rating-mode training calls it once per epoch to display
+        MAE/RMSE (``_quick_rating_metrics``), then once more with the final
+        params. A subclass whose finalize is expensive or stateful must
+        override ``_quick_rating_metrics`` to avoid the per-epoch call.
+        """
         if spec.score_params_fn is not None:
             final = spec.score_params_fn(params)
         else:
@@ -711,21 +719,16 @@ class GraphRecommender(IterativeRecommender):
                 DenseJoint,
                 DeviceCOO,
                 PaddedCOO,
+                ShardedPaddedCOO,
             )
 
             backend = self.config.get("graph.backend", "auto")
-            # Mesh policy: the Pallas scatter kernel runs per-device and is
-            # not GSPMD-partitionable — under an active mesh the joint
-            # adjacency stays on the XLA paths (DenseJoint is replicated as
-            # a jit constant and its matmuls partition; DeviceCOO's gather +
-            # segment_sum partition natively). An explicit pallas request is
-            # downgraded with a notice rather than silently honored.
-            if self.mesh is not None and backend == "pallas":
-                print(
-                    "graph.backend=pallas is single-device only; using 'auto'"
-                    " under the active device mesh"
-                )
-                backend = "auto"
+            # Mesh policy: under an active mesh the one-hot MXU scatter
+            # kernel runs as a ShardedPaddedCOO — edges pre-partitioned by
+            # output-row shard, one kernel per device under shard_map, x
+            # replicated via an XLA all-gather over ICI (ops/spmm.py). The
+            # DenseJoint two-matmul and DeviceCOO paths partition natively
+            # under GSPMD as before.
             on_mesh = self.mesh is not None
             # entry budget for the dense-bipartite path, overridable for
             # smaller HBM budgets (or to force the sparse path on big hosts)
@@ -783,20 +786,25 @@ class GraphRecommender(IterativeRecommender):
                     dual=use_dual,
                     dual_interpret=not on_tpu,
                 )
-            elif backend == "auto" and on_mesh:
-                self._joint_adj = DeviceCOO.from_host(
-                    joint_normalized_adjacency(self.data)
-                )
             elif backend == "pallas" or (backend == "auto" and on_tpu):
                 # Past the dense budget, the one-hot MXU scatter kernel beats
                 # XLA's segment_sum ~17x on v5e — make it the TPU default.
                 # One-hot MXU scatter kernel (ops/pallas_kernels.py). The
-                # joint adjacency is symmetric, which PaddedCOO requires.
-                self._joint_adj = PaddedCOO.from_host(
-                    joint_normalized_adjacency(self.data),
-                    interpret=jax.default_backend() != "tpu",
-                    check_symmetric=False,
-                )
+                # joint adjacency is symmetric, which both Padded layouts
+                # require. Under a mesh, the row-shard-partitioned variant
+                # keeps the kernel win instead of downgrading to XLA COO.
+                if on_mesh:
+                    self._joint_adj = ShardedPaddedCOO.from_host(
+                        joint_normalized_adjacency(self.data),
+                        self.mesh,
+                        interpret=not on_tpu,
+                    )
+                else:
+                    self._joint_adj = PaddedCOO.from_host(
+                        joint_normalized_adjacency(self.data),
+                        interpret=not on_tpu,
+                        check_symmetric=False,
+                    )
             elif backend in ("coo", "auto"):
                 self._joint_adj = DeviceCOO.from_host(
                     joint_normalized_adjacency(self.data)

@@ -66,7 +66,7 @@ class DenseBudget:
         return False
 
 
-def _dev(m: sp.spmatrix, budget: "DenseBudget" = None):
+def _dev(m: sp.spmatrix, budget: "DenseBudget" = None, mode: str = "auto"):
     """Device operator for an auxiliary adjacency (motif/social/incidence).
 
     On TPU, matrices under the dense budget become one bf16 MXU matmul
@@ -75,12 +75,23 @@ def _dev(m: sp.spmatrix, budget: "DenseBudget" = None):
     epoch. Elsewhere (and past the budget) the sorted-COO path is used.
     bf16 storage is the same precision class as the DenseJoint backend
     (~0.4% relative error on edge weights).
+
+    ``mode`` comes from the ``graph.aux.dense`` config key: ``auto`` (TPU
+    only, the default), ``on`` (force DenseMat on any backend — used to
+    exercise the dense path under the virtual CPU mesh), ``off`` (pin COO).
     """
     import jax
 
+    if mode not in ("auto", "on", "off"):
+        from ..errors import ConfigError
+
+        raise ConfigError(f"graph.aux.dense must be auto|on|off, got {mode!r}")
     entries = m.shape[0] * m.shape[1]
+    want_dense = mode == "on" or (
+        mode == "auto" and jax.default_backend() == "tpu"
+    )
     if (
-        jax.default_backend() == "tpu"
+        want_dense
         and entries <= DENSE_JOINT_LIMIT
         and (budget is None or budget.take(entries))
     ):
@@ -191,10 +202,13 @@ class MHCN(SocialRecommender, GraphRecommender):
 
     def build(self):
         budget = DenseBudget()
-        h_s, h_j, h_p = (_dev(m, budget) for m in self._motif_matrices())
+        aux_mode = self.config.get("graph.aux.dense", "auto")
+        h_s, h_j, h_p = (
+            _dev(m, budget, aux_mode) for m in self._motif_matrices()
+        )
         r_mat = self._joint_r()
-        r_dev = _dev(r_mat, budget)
-        rt_dev = _dev(r_mat.T, budget)
+        r_dev = _dev(r_mat, budget, aux_mode)
+        rt_dev = _dev(r_mat.T, budget, aux_mode)
         d = self.emb_size
         rng = jax.random.PRNGKey(self.seed)
         ks = jax.random.split(rng, 20)
@@ -370,7 +384,11 @@ class SEPT(SocialRecommender, GraphRecommender):
         )
 
     def fit(self):
-        social_dev, sharing_dev = map(_dev, self._views())
+        budget = DenseBudget()
+        aux_mode = self.config.get("graph.aux.dense", "auto")
+        social_dev, sharing_dev = (
+            _dev(m, budget, aux_mode) for m in self._views()
+        )
         adj = self.joint_adj
         c_rows, c_cols, c_ids, n_groups, n_nodes = self._combined_graph()
         rng0 = jax.random.PRNGKey(self.seed)
@@ -636,7 +654,8 @@ class DiffNet(SocialRecommender, GraphRecommender):
             (s_vals, (src, dst)), shape=(self.num_users, self.num_users)
         )
         budget = DenseBudget()
-        s_dev = _dev(s_mat, budget)
+        aux_mode = self.config.get("graph.aux.dense", "auto")
+        s_dev = _dev(s_mat, budget, aux_mode)
         # row-normalized rating matrix 1/|I_u| (graphRecommender.py:41-51)
         du = np.maximum(np.diff(self.data.u_indptr), 1).astype(np.float32)
         a_mat = sp.csr_matrix(
@@ -646,7 +665,7 @@ class DiffNet(SocialRecommender, GraphRecommender):
             ),
             shape=(self.num_users, self.num_items),
         )
-        a_dev = _dev(a_mat, budget)
+        a_dev = _dev(a_mat, budget, aux_mode)
         d = self.emb_size
         params = self.init_embeddings("normal")
         ks = jax.random.split(jax.random.PRNGKey(self.seed + 3), self.n_layers)
@@ -719,8 +738,9 @@ class DHCF(GraphRecommender):
             return (dv @ h @ de @ h.T @ dv).tocsr()
 
         budget = DenseBudget()
-        a_u = _dev(hyper_norm(a), budget)
-        a_i = _dev(hyper_norm(a.T.tocsr()), budget)
+        aux_mode = self.config.get("graph.aux.dense", "auto")
+        a_u = _dev(hyper_norm(a), budget, aux_mode)
+        a_i = _dev(hyper_norm(a.T.tocsr()), budget, aux_mode)
         d = self.emb_size
         params = self.init_embeddings("normal")
         ks = jax.random.split(jax.random.PRNGKey(self.seed + 5), self.n_layers)

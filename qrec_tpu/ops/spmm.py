@@ -208,6 +208,9 @@ def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray
     if isinstance(adj, PaddedCOO):
         v = adj.vals if vals is None else adj.pad_vals(vals)
         return _padded_spmm(adj, x, v)
+    if isinstance(adj, ShardedPaddedCOO):
+        v = adj.vals if vals is None else adj.pad_vals(vals)
+        return _sharded_spmm(adj, x, v)
     v = adj.vals if vals is None else vals
     gathered = x[adj.cols] * v[:, None]
     return jax.ops.segment_sum(
@@ -463,6 +466,203 @@ def _padded_spmm_bwd(adj, res, g):
 _padded_spmm.defvjp(_padded_spmm_fwd, _padded_spmm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Mesh-partitioned Pallas backend (ShardedPaddedCOO)
+# ---------------------------------------------------------------------------
+
+
+class ShardedPaddedCOO:
+    """Row-shard-partitioned PaddedCOO for propagation under a device mesh.
+
+    The round-2 gap this closes: every measured kernel win (the one-hot MXU
+    scatter beats XLA segment_sum 4-17×, PARITY.md) was single-device only,
+    so multi-chip runs silently fell back to the slow COO path. Here the
+    symmetric joint adjacency (base/graphRecommender.py:10-29) is
+    partitioned by OUTPUT ROW SHARD on host — one PaddedCOO layout per mesh
+    device, padded to a common tile count and stacked on a leading device
+    axis — and ``A @ x`` runs as a ``shard_map``: x arrives replicated
+    (GSPMD inserts the all-gather over ICI), each device runs the
+    weighted-segment-matmul kernel over its own edge partition, and the
+    output is row-sharded across the mesh with no further collective (each
+    global row belongs to exactly one shard — the halo is entirely on the
+    input side).
+
+    Backward: the matrix is symmetric, so ``dx = Aᵀ g = A g`` — the same
+    sharded kernel applied to the (row-sharded) cotangent. Per-edge value
+    cotangents (dropout-view training) use the stored global COO indices
+    outside the kernel: ``dvals[e] = g[rows[e]] · x[cols[e]]``, a gather +
+    rowwise dot that GSPMD partitions natively.
+
+    Not a pytree — held as a closure constant; arrays are committed to
+    NamedShardings so jit keeps the partitioned placement.
+    """
+
+    def __init__(self, mesh, coo, row_block: int = 512, edge_tile: int = 2048,
+                 interpret: bool = False):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows = np.asarray(coo.rows)
+        cols = np.asarray(coo.cols)
+        vals = np.asarray(coo.vals)
+        n_rows, n_cols = int(coo.shape[0]), int(coo.shape[1])
+        assert n_rows == n_cols, "ShardedPaddedCOO requires a square matrix"
+        assert np.all(np.diff(rows) >= 0), "requires row-sorted edges"
+        self.mesh = mesh
+        self.num_rows = n_rows
+        self.num_cols = n_cols
+        self.row_block = row_block
+        self.interpret = interpret
+        self.axes = tuple(mesh.axis_names)
+        n_shards = int(np.prod(mesh.devices.shape))
+        self.n_shards = n_shards
+        rps = -(-n_rows // n_shards)
+        rps = -(-rps // row_block) * row_block  # multiple of row_block
+        self.rows_per_shard = rps
+        self.padded_rows = rps * n_shards
+        self.num_blocks_local = rps // row_block
+
+        # per-shard padded layouts (same construction as PaddedCOO.from_host,
+        # with rows rebased to the shard and every shard padded to the SAME
+        # tile count so the stacks shard evenly over the mesh)
+        shard_of = rows // rps
+        per_shard = []
+        max_tiles = 1
+        for s in range(n_shards):
+            sel = np.nonzero(shard_of == s)[0].astype(np.int32)
+            r_loc = rows[sel] - s * rps
+            blk = r_loc // row_block
+            counts = np.bincount(blk, minlength=self.num_blocks_local)
+            padded = np.maximum(-(-counts // edge_tile), 1) * edge_tile
+            per_shard.append((sel, r_loc, counts, padded))
+            max_tiles = max(max_tiles, int(padded.sum()) // edge_tile)
+        e_pad = max_tiles * edge_tile
+        S = n_shards
+        cols_p = np.zeros((S, e_pad), dtype=np.int32)
+        rl_p = np.zeros((S, 1, e_pad), dtype=np.int32)
+        vals_p = np.zeros((S, 1, e_pad), dtype=np.float32)
+        perm_p = np.zeros((S, e_pad), dtype=np.int32)
+        valid_p = np.zeros((S, 1, e_pad), dtype=np.float32)
+        block_ids = np.zeros((S, max_tiles), dtype=np.int32)
+        is_first = np.zeros((S, max_tiles), dtype=np.int32)
+        for s, (sel, r_loc, counts, padded) in enumerate(per_shard):
+            offs = np.zeros(self.num_blocks_local + 1, dtype=np.int64)
+            np.cumsum(padded, out=offs[1:])
+            src_offs = np.zeros(self.num_blocks_local + 1, dtype=np.int64)
+            np.cumsum(counts, out=src_offs[1:])
+            for b in range(self.num_blocks_local):
+                c = int(counts[b])
+                if c == 0:
+                    continue
+                dst = slice(int(offs[b]), int(offs[b]) + c)
+                src = slice(int(src_offs[b]), int(src_offs[b]) + c)
+                perm_p[s, dst] = sel[src]
+                valid_p[s, 0, dst] = 1.0
+                cols_p[s, dst] = cols[sel[src]]
+                rl_p[s, 0, dst] = r_loc[src] - b * row_block
+                vals_p[s, 0, dst] = vals[sel[src]]
+            tiles_per_block = (padded // edge_tile).astype(np.int64)
+            bid = np.repeat(
+                np.arange(self.num_blocks_local, dtype=np.int32),
+                tiles_per_block,
+            )
+            t_used = len(bid)
+            block_ids[s, :t_used] = bid
+            first_idx = np.searchsorted(bid, np.unique(bid), side="left")
+            is_first[s, first_idx] = 1
+            # surplus padding tiles revisit the LAST block with zero vals
+            # (is_first stays 0 → pure zero-accumulate, no re-init)
+            block_ids[s, t_used:] = self.num_blocks_local - 1
+
+        def _put(a, spec):
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        self.cols = _put(cols_p, P(self.axes, None))
+        self.rows_local = _put(rl_p, P(self.axes, None, None))
+        self.vals = _put(vals_p, P(self.axes, None, None))
+        self.perm = _put(perm_p, P(self.axes, None))
+        self.valid = _put(valid_p, P(self.axes, None, None))
+        self.block_ids = _put(block_ids, P(self.axes, None))
+        self.is_first = _put(is_first, P(self.axes, None))
+        # global COO (replicated) for the per-edge value cotangent
+        self.g_rows = _put(jnp.asarray(rows), P())
+        self.g_cols = _put(jnp.asarray(cols), P())
+
+    @classmethod
+    def from_host(cls, coo, mesh, interpret: bool = False) -> "ShardedPaddedCOO":
+        return cls(mesh, coo, interpret=interpret)
+
+    def pad_vals(self, vals: jnp.ndarray) -> jnp.ndarray:
+        """Permute per-edge values (original row-sorted order) into the
+        stacked padded layout — used for dropout/augmented views."""
+        return (jnp.take(vals, self.perm) * self.valid[:, 0])[:, None, :]
+
+    # -- the sharded propagation ------------------------------------------
+    def _apply(self, x: jnp.ndarray, vals_stacked: jnp.ndarray) -> jnp.ndarray:
+        from jax.sharding import PartitionSpec as P
+
+        from .pallas_kernels import weighted_segment_matmul
+
+        shard_map = jax.shard_map
+
+        row_block = self.row_block
+        num_blocks = self.num_blocks_local
+        interpret = self.interpret
+
+        def local(cols, rows_local, vblk, block_ids, is_first, x_rep):
+            gathered = x_rep.astype(jnp.bfloat16)[cols[0]]
+            return weighted_segment_matmul(
+                gathered,
+                vblk[0],
+                rows_local[0],
+                block_ids[0],
+                is_first[0],
+                row_block,
+                num_blocks,
+                interpret=interpret,
+            )  # (rows_per_shard, d)
+
+        y = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axes, None),
+                P(self.axes, None, None),
+                P(self.axes, None, None),
+                P(self.axes, None),
+                P(self.axes, None),
+                P(None, None),  # x replicated: GSPMD all-gathers over ICI
+            ),
+            out_specs=P(self.axes, None),
+            # pallas_call can't annotate varying-mesh-axes metadata on its
+            # out_shape; the specs above fully pin the placement
+            check_vma=False,
+        )(self.cols, self.rows_local, vals_stacked.astype(jnp.float32),
+          self.block_ids, self.is_first, x)
+        return y[: self.num_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sharded_spmm(adj: ShardedPaddedCOO, x: jnp.ndarray, vals_stacked: jnp.ndarray):
+    return adj._apply(x, vals_stacked)
+
+
+def _sharded_spmm_fwd(adj, x, vals_stacked):
+    return adj._apply(x, vals_stacked), (x, vals_stacked)
+
+
+def _sharded_spmm_bwd(adj, res, g):
+    x, vals_stacked = res
+    # symmetric: dx = Aᵀ g = A g — the same sharded kernel on the cotangent
+    gx = adj._apply(g, vals_stacked)
+    # per-edge value cotangent in the ORIGINAL edge order, then into the
+    # stacked layout; plain XLA (gather + rowwise dot) partitions under GSPMD
+    gv = jnp.sum(g[adj.g_rows] * x[adj.g_cols], axis=1)
+    return gx, adj.pad_vals(gv)
+
+
+_sharded_spmm.defvjp(_sharded_spmm_fwd, _sharded_spmm_bwd)
+
+
 def view_adjacency(rows, cols, n_nodes: int, config=None, mesh=None):
     """Adjacency backend for per-edge-value *views* (SGL/BUIR dropout
     subgraphs): the structure is fixed, the values change every step, so the
@@ -478,22 +678,6 @@ def view_adjacency(rows, cols, n_nodes: int, config=None, mesh=None):
     """
     backend = config.get("graph.backend", "auto") if config is not None else "auto"
     ones = np.ones(len(rows), dtype=np.float32)
-    if mesh is not None:
-        # Pallas kernels are single-device; under an active mesh the view
-        # path stays on DeviceCOO, whose gather + segment_sum partition
-        # under GSPMD (same policy as GraphRecommender.joint_adj)
-        if backend == "pallas":
-            print(
-                "graph.backend=pallas is single-device only; view adjacency"
-                " uses the COO path under the active device mesh"
-            )
-        return DeviceCOO(
-            jnp.asarray(rows, dtype=jnp.int32),
-            jnp.asarray(cols, dtype=jnp.int32),
-            jnp.asarray(ones),
-            n_nodes,
-            n_nodes,
-        )
     # auto flips to the kernel above the edge threshold (see
     # VIEW_PALLAS_MIN_EDGES) — tiny graphs stay on XLA scatter where the
     # extra Mosaic compile would never amortize
@@ -505,13 +689,18 @@ def view_adjacency(rows, cols, n_nodes: int, config=None, mesh=None):
     if use_pallas:
         from ..data.graph import COO
 
+        host = COO(
+            np.asarray(rows, dtype=np.int32),
+            np.asarray(cols, dtype=np.int32),
+            ones,
+            (n_nodes, n_nodes),
+        )
+        if mesh is not None:
+            # row-shard-partitioned kernel under the mesh (same policy as
+            # GraphRecommender.joint_adj) — views keep the MXU scatter win
+            return ShardedPaddedCOO.from_host(host, mesh, interpret=not on_tpu)
         return PaddedCOO.from_host(
-            COO(
-                np.asarray(rows, dtype=np.int32),
-                np.asarray(cols, dtype=np.int32),
-                ones,
-                (n_nodes, n_nodes),
-            ),
+            host,
             interpret=not on_tpu,
             check_symmetric=False,
         )

@@ -253,10 +253,13 @@ def test_joint_adj_backend_auto_prefers_pallas_on_tpu(tiny_conf, tiny_data, monk
     m = LightGCN(tiny_conf, tiny_data)
     assert isinstance(m.joint_adj, PaddedCOO)  # TPU single-chip: pallas
 
-    # multi-chip mesh active → GSPMD-partitionable COO, never pallas
+    # multi-chip mesh active → the row-shard-partitioned kernel (the round-3
+    # upgrade: the MXU scatter win survives the mesh instead of downgrading)
+    from qrec_tpu.ops.spmm import ShardedPaddedCOO
+
     tiny_conf.config["parallel.setup"] = "on -model 2"
     m = LightGCN(tiny_conf, tiny_data)
-    assert isinstance(m.joint_adj, DeviceCOO)
+    assert isinstance(m.joint_adj, ShardedPaddedCOO)
 
 
 def test_view_adjacency_pallas_matches_coo_on_subgraph_vals(tiny_data):
