@@ -185,6 +185,7 @@ class SGL(GraphRecommender):
         ssl_backend, ssl_interp = L.resolve_ssl_backend(
             self.config, 2 * self.batch_size, self.mesh
         )
+        ssl_mesh = self.mesh
 
         def view_vals(rng, layer):
             # aug 2 (random walk) uses per-layer subgraphs; 0/1 one per view
@@ -230,7 +231,8 @@ class SGL(GraphRecommender):
             merge2 = jnp.concatenate([s2u[uu], s2i[iu]])
             mask = jnp.concatenate([um, im])
             ssl = ssl_reg * L.infonce_dispatch(
-                merge1, merge2, mask, temp, ssl_backend, ssl_interp
+                merge1, merge2, mask, temp, ssl_backend, ssl_interp,
+                mesh=ssl_mesh,
             )
             return rec + ssl
 
@@ -276,6 +278,7 @@ class SimGCL(GraphRecommender):
         ssl_backend, ssl_interp = L.resolve_ssl_backend(
             self.config, self.batch_size, self.mesh
         )
+        ssl_mesh = self.mesh
 
         def encode_main(params):
             # note: reference SimGCL's LightGCN_encoder averages the K
@@ -317,10 +320,12 @@ class SimGCL(GraphRecommender):
             uu, um = L.unique_padded(u)
             iu, im = L.unique_padded(i)
             cl = L.infonce_dispatch(
-                p1u[uu], p2u[uu], um, temp, ssl_backend, ssl_interp
+                p1u[uu], p2u[uu], um, temp, ssl_backend, ssl_interp,
+                mesh=ssl_mesh,
             )
             cl = cl + L.infonce_dispatch(
-                p1i[iu], p2i[iu], im, temp, ssl_backend, ssl_interp
+                p1i[iu], p2i[iu], im, temp, ssl_backend, ssl_interp,
+                mesh=ssl_mesh,
             )
             return rec + cl_rate * cl
 

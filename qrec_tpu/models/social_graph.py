@@ -22,7 +22,6 @@ import scipy.sparse as sp
 from ..data.graph import COO, joint_bipartite_coo
 from ..ops import losses as L
 from ..ops.spmm import (
-    DENSE_JOINT_LIMIT,
     DenseMat,
     DeviceCOO,
     lightgcn_propagate,
@@ -46,17 +45,28 @@ def _row_norm(m: sp.spmatrix) -> sp.csr_matrix:
     return (sp.diags(d_inv) @ m).tocsr()
 
 
+# Aggregate dense-entry pool for ONE model's aux matrices. Much tighter
+# than DENSE_JOINT_LIMIT: (a) aux matrices stream from HBM per step — a
+# near-budget one (e.g. DHCF's 235M-entry I×I hypergraph) costs more HBM
+# traffic per application than its COO form; (b) DenseMat constants embed in
+# the serialized computation, and the axon remote-compile tunnel rejects
+# bodies past ~a few hundred MB (HTTP 413 — observed with DHCF at lastfm
+# scale). 64M entries = 128 MB bf16.
+AUX_DENSE_LIMIT = 64_000_000
+
+
 class DenseBudget:
     """Cumulative dense-entry budget across ONE model's auxiliary matrices.
 
-    The dense budget is meant as an HBM ceiling; applying it per matrix lets
-    a model that materializes several aux adjacencies (MHCN: h_s/h_j/h_p/R/Rᵀ
-    plus the joint adjacency) use a multiple of it in aggregate. Each model's
-    ``build()`` creates one tracker and passes it to every ``_dev`` call;
-    once the shared pool is spent, later matrices fall back to DeviceCOO.
+    The dense budget is an HBM/compile-size ceiling; applying it per matrix
+    lets a model that materializes several aux adjacencies (MHCN:
+    h_s/h_j/h_p/R/Rᵀ plus the joint adjacency) use a multiple of it in
+    aggregate. Each model's ``build()`` creates one tracker and passes it to
+    every ``_dev`` call; once the shared pool is spent, later matrices fall
+    back to DeviceCOO.
     """
 
-    def __init__(self, total: int = DENSE_JOINT_LIMIT):
+    def __init__(self, total: int = AUX_DENSE_LIMIT):
         self.remaining = total
 
     def take(self, entries: int) -> bool:
@@ -92,7 +102,7 @@ def _dev(m: sp.spmatrix, budget: "DenseBudget" = None, mode: str = "auto"):
     )
     if (
         want_dense
-        and entries <= DENSE_JOINT_LIMIT
+        and entries <= AUX_DENSE_LIMIT
         and (budget is None or budget.take(entries))
     ):
         return DenseMat.from_scipy(m)

@@ -101,19 +101,13 @@ def resolve_ssl_backend(config, batch_rows: int, mesh=None):
 
     auto → the fused kernel on TPU for large contrastive batches; an
     explicit ``pallas`` is honored everywhere (interpret mode off-TPU,
-    mirroring graph.backend semantics). Under an active mesh the XLA path
-    is forced — Pallas kernels are single-device (same policy as
-    graph.backend)."""
+    mirroring graph.backend semantics). Under an active mesh the fused
+    kernel runs row-sharded over the 'data' axis
+    (pallas_kernels.sharded_infonce_loss) — pass the mesh through to
+    :func:`infonce_dispatch`."""
     import jax
 
     backend = config.get("ssl.backend", "auto") if config is not None else "auto"
-    if mesh is not None:
-        if backend == "pallas":
-            print(
-                "ssl.backend=pallas is single-device only; using the XLA "
-                "InfoNCE under the active device mesh"
-            )
-        return "xla", False
     on_tpu = jax.default_backend() == "tpu"
     if backend == "pallas":
         return "pallas", not on_tpu
@@ -135,20 +129,34 @@ def infonce_dispatch(
     temperature: float,
     backend: str = "xla",
     interpret: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """``masked_infonce`` through the selected backend. The Pallas kernel
     needs the row count padded to its tile; pad rows carry mask=0 so they
-    contribute neither positives nor negatives."""
+    contribute neither positives nor negatives. With an active ``mesh`` the
+    fused kernel runs row-sharded over the mesh's 'data' axis."""
     if backend == "pallas":
-        from .pallas_kernels import ROW_TILE, infonce_loss
+        from .pallas_kernels import ROW_TILE, infonce_loss, sharded_infonce_loss
 
         b, d = view1.shape
-        bp = b if b <= ROW_TILE else -(-b // ROW_TILE) * ROW_TILE
+        if mesh is not None:
+            # per-shard rows must be ≤ ROW_TILE or a multiple of it
+            dp = mesh.shape[mesh.axis_names[0]]
+            local = -(-b // dp)
+            if local > ROW_TILE:
+                local = -(-local // ROW_TILE) * ROW_TILE
+            bp = local * dp
+        else:
+            bp = b if b <= ROW_TILE else -(-b // ROW_TILE) * ROW_TILE
         if bp != b:
             pad = bp - b
             view1 = jnp.concatenate([view1, jnp.zeros((pad, d), view1.dtype)])
             view2 = jnp.concatenate([view2, jnp.zeros((pad, d), view2.dtype)])
             mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+        if mesh is not None:
+            return sharded_infonce_loss(
+                mesh, view1, view2, mask, temperature, interpret
+            )
         return infonce_loss(view1, view2, mask, temperature, interpret)
     return masked_infonce(view1, view2, mask, temperature)
 

@@ -152,11 +152,16 @@ def masked_catalog_scores_xla(u_block, items, bitmask, mask_value=0.0):
 # ---------------------------------------------------------------------------
 
 
-def _infonce_kernel(v1_ref, v2_ref, mask_ref, out_ref, *, temperature):
+def _infonce_kernel(
+    off_ref, v1_ref, v2_ref, cmask_ref, rmask_ref, out_ref, *, temperature
+):
+    # off: (1,1) SMEM global row offset of this v1 block (0 single-device;
+    # shard_offset when the batch rows are sharded over a mesh axis).
+    # cmask masks the full-batch COLUMNS (denominator); rmask the local ROWS.
     j = pl.program_id(0)
     v1 = v1_ref[:]  # (Rt, d) — row block, already normalized by caller
     v2 = v2_ref[:]  # (B, d)
-    mask = mask_ref[:]  # (1, B)
+    cmask = cmask_ref[:]  # (1, B)
     logits = (
         jax.lax.dot_general(
             v1, v2,
@@ -166,17 +171,17 @@ def _infonce_kernel(v1_ref, v2_ref, mask_ref, out_ref, *, temperature):
         / temperature
     )  # (Rt, B)
     neg_inf = jnp.float32(-1e30)
-    logits = jnp.where(mask > 0, logits, neg_inf)
+    logits = jnp.where(cmask > 0, logits, neg_inf)
     row_max = jnp.max(logits, axis=1, keepdims=True)
     lse = jnp.log(
         jnp.sum(jnp.exp(logits - row_max), axis=1, keepdims=True)
     ) + row_max  # (Rt, 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    diag = rows + j * v1.shape[0] == cols
-    pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=1, keepdims=True)
     rt = v1.shape[0]
-    row_mask = mask_ref[:, pl.ds(pl.multiple_of(j * rt, 128), rt)]
+    diag = rows + off_ref[0, 0] + j * rt == cols
+    pos = jnp.sum(jnp.where(diag, logits, 0.0), axis=1, keepdims=True)
+    row_mask = rmask_ref[:, pl.ds(pl.multiple_of(j * rt, rt), rt)]
     partial_sum = jnp.sum(row_mask.reshape(-1, 1) * (lse - pos))
 
     @pl.when(j == 0)
@@ -204,34 +209,46 @@ def _l2n_bwd(x, g):
     return jnp.where(s > 1e-12, gx - corr, gx)
 
 
-def _infonce_fwd_call(v1, v2, mask2d, temperature, interpret):
-    b, d = v1.shape
-    row_tile = min(ROW_TILE, b)
+def _infonce_fwd_pallas(off, v1, v2, cmask, rmask, temperature, interpret):
+    """Forward kernel call over a (possibly sharded-local) row block ``v1``
+    against the full batch ``v2``. ``off`` is the (1,1) global row offset."""
+    b_loc, d = v1.shape
+    b = v2.shape[0]
+    row_tile = min(ROW_TILE, b_loc)
     out = pl.pallas_call(
         functools.partial(_infonce_kernel, temperature=temperature),
-        grid=(b // row_tile,),
+        grid=(b_loc // row_tile,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((row_tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_loc), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
-    )(v1, v2, mask2d)
+    )(off, v1, v2, cmask, rmask)
     return out[0, 0]
 
 
-def _infonce_bwd_kernel(v1_ref, v2_ref, mask_ref, dv1_ref, dv2_ref, *, temperature):
+def _infonce_fwd_call(v1, v2, mask2d, temperature, interpret):
+    off = jnp.zeros((1, 1), jnp.int32)
+    return _infonce_fwd_pallas(off, v1, v2, mask2d, mask2d, temperature, interpret)
+
+
+def _infonce_bwd_kernel(
+    off_ref, v1_ref, v2_ref, cmask_ref, rmask_ref, dv1_ref, dv2_ref, *, temperature
+):
     """Fused backward: recompute the logits tile + row softmax in VMEM and
     emit both cotangents — dlogits never touches HBM (the XLA backward
     materializes the full B×B probability matrix)."""
     j = pl.program_id(0)
     v1 = v1_ref[:]  # (Rt, d) normalized row tile
     v2 = v2_ref[:]  # (B, d) normalized
-    mask = mask_ref[:]  # (1, B)
+    cmask = cmask_ref[:]  # (1, B)
     logits = (
         jax.lax.dot_general(
             v1, v2,
@@ -241,15 +258,15 @@ def _infonce_bwd_kernel(v1_ref, v2_ref, mask_ref, dv1_ref, dv2_ref, *, temperatu
         / temperature
     )  # (Rt, B)
     neg_inf = jnp.float32(-1e30)
-    logits = jnp.where(mask > 0, logits, neg_inf)
+    logits = jnp.where(cmask > 0, logits, neg_inf)
     row_max = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - row_max)
     p = e / jnp.sum(e, axis=1, keepdims=True)  # (Rt, B)
     rt = v1.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-    diag = (rows + j * rt == cols).astype(jnp.float32)
-    row_mask = mask_ref[:, pl.ds(pl.multiple_of(j * rt, 128), rt)]
+    diag = (rows + off_ref[0, 0] + j * rt == cols).astype(jnp.float32)
+    row_mask = rmask_ref[:, pl.ds(pl.multiple_of(j * rt, rt), rt)]
     dlog = row_mask.reshape(-1, 1) * (p - diag) / temperature  # (Rt, B)
     dv1_ref[:] = jax.lax.dot_general(
         dlog, v2,
@@ -268,27 +285,35 @@ def _infonce_bwd_kernel(v1_ref, v2_ref, mask_ref, dv1_ref, dv2_ref, *, temperatu
     )
 
 
-def _infonce_bwd_call(v1, v2, mask2d, temperature, interpret):
-    b, d = v1.shape
-    row_tile = min(ROW_TILE, b)
+def _infonce_bwd_pallas(off, v1, v2, cmask, rmask, temperature, interpret):
+    b_loc, d = v1.shape
+    b = v2.shape[0]
+    row_tile = min(ROW_TILE, b_loc)
     return pl.pallas_call(
         functools.partial(_infonce_bwd_kernel, temperature=temperature),
-        grid=(b // row_tile,),
+        grid=(b_loc // row_tile,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((row_tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_loc), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((row_tile, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b_loc, d), jnp.float32),
             jax.ShapeDtypeStruct((b, d), jnp.float32),
         ],
         interpret=interpret,
-    )(v1, v2, mask2d)
+    )(off, v1, v2, cmask, rmask)
+
+
+def _infonce_bwd_call(v1, v2, mask2d, temperature, interpret):
+    off = jnp.zeros((1, 1), jnp.int32)
+    return _infonce_bwd_pallas(off, v1, v2, mask2d, mask2d, temperature, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -331,6 +356,118 @@ def _infonce_vjp_bwd(temperature, interpret, res, g):
 
 
 infonce_loss.defvjp(_infonce_vjp_fwd, _infonce_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded fused InfoNCE
+# ---------------------------------------------------------------------------
+
+
+def _sharded_infonce_fwd_call(mesh, v1, v2, mask2d, temperature, interpret):
+    """Batch rows sharded over the mesh's first ('data') axis; each device
+    runs the fused kernel for its row block against the full (replicated)
+    column batch, then the partial losses psum over 'data'. Model-axis
+    replicas compute identical values, so the scalar is mesh-invariant."""
+    from jax.sharding import PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+    dp = mesh.shape[data_axis]
+    b = v1.shape[0]
+    local_b = b // dp
+
+    def body(v1_loc, v2_full, cmask, rmask_loc):
+        off = (jax.lax.axis_index(data_axis) * local_b).astype(jnp.int32)
+        out = _infonce_fwd_pallas(
+            off.reshape(1, 1), v1_loc, v2_full, cmask, rmask_loc,
+            temperature, interpret,
+        )
+        return jax.lax.psum(out, data_axis)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None),
+            P(None, None),  # full column batch: GSPMD all-gathers
+            P(None, None),
+            P(None, data_axis),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )(v1, v2, mask2d, mask2d)
+
+
+def _sharded_infonce_bwd_call(mesh, v1, v2, mask2d, temperature, interpret):
+    from jax.sharding import PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+    dp = mesh.shape[data_axis]
+    b = v1.shape[0]
+    local_b = b // dp
+
+    def body(v1_loc, v2_full, cmask, rmask_loc):
+        off = (jax.lax.axis_index(data_axis) * local_b).astype(jnp.int32)
+        dv1_loc, dv2_part = _infonce_bwd_pallas(
+            off.reshape(1, 1), v1_loc, v2_full, cmask, rmask_loc,
+            temperature, interpret,
+        )
+        # each shard contributes its row block's pull on EVERY column row
+        return dv1_loc, jax.lax.psum(dv2_part, data_axis)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None),
+            P(None, None),
+            P(None, None),
+            P(None, data_axis),
+        ),
+        out_specs=(P(data_axis, None), P(None, None)),
+        check_vma=False,
+    )(v1, v2, mask2d, mask2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def sharded_infonce_loss(
+    mesh,
+    view1: jnp.ndarray,  # (B, d) — B divisible by the mesh's data axis
+    view2: jnp.ndarray,
+    mask: jnp.ndarray,  # (B,) 1=real row
+    temperature: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mesh-partitioned :func:`infonce_loss`: same semantics, batch rows
+    sharded over the 'data' axis so the fused logits/softmax tiles stay in
+    each device's VMEM. Per-shard row count must be ≤ ROW_TILE or a multiple
+    of it — ops/losses.infonce_dispatch pads accordingly."""
+    b = view1.shape[0]
+    v1 = _l2n(view1)
+    v2 = _l2n(view2)
+    mask2d = mask.reshape(1, b).astype(jnp.float32)
+    return _sharded_infonce_fwd_call(mesh, v1, v2, mask2d, temperature, interpret)
+
+
+def _sharded_vjp_fwd(mesh, view1, view2, mask, temperature, interpret):
+    b = view1.shape[0]
+    v1 = _l2n(view1)
+    v2 = _l2n(view2)
+    mask2d = mask.reshape(1, b).astype(jnp.float32)
+    loss = _sharded_infonce_fwd_call(mesh, v1, v2, mask2d, temperature, interpret)
+    return loss, (view1, view2, v1, v2, mask2d)
+
+
+def _sharded_vjp_bwd(mesh, temperature, interpret, res, g):
+    view1, view2, v1, v2, mask2d = res
+    dv1n, dv2n = _sharded_infonce_bwd_call(
+        mesh, v1, v2, mask2d, temperature, interpret
+    )
+    dview1 = _l2n_bwd(view1, g * dv1n)
+    dview2 = _l2n_bwd(view2, g * dv2n)
+    return dview1, dview2, None
+
+
+sharded_infonce_loss.defvjp(_sharded_vjp_fwd, _sharded_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -435,14 +572,16 @@ def _dual_kernel(a_ref, xu_ref, xi_ref, ou_ref, oi_ref):
     ut, it = a.shape
     xu_t = xu_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :]  # (UT, d)
     xi_t = xi_ref[pl.ds(pl.multiple_of(i * it, it), it), :]  # (IT, d)
+    # BOTH products in transposed (d, N) layout so the MXU output lanes are
+    # the full UT/IT tile dims instead of d (d=50 would cap lane utilization
+    # at 39%); contracting dim 0 of both operands only relayouts the small
+    # x tiles, never the streamed (UT, IT) A tile. The caller transposes the
+    # two small (d, N) f32 results back once per application.
     pu = jax.lax.dot_general(
-        a, xi_t,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        xi_t, a,
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (UT, d) = A_tile @ xi_t
-    # Aᵀ product in (d, IT) layout: contracting dim 0 of BOTH operands only
-    # relayouts the small (UT, d) x tile — transposing the (UT, IT) A tile
-    # itself on the VPU would cost more than the matmul
+    )  # (d, UT) = (A_tile @ xi_t)ᵀ
     pi = jax.lax.dot_general(
         xu_t, a,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -451,11 +590,11 @@ def _dual_kernel(a_ref, xu_ref, xi_ref, ou_ref, oi_ref):
 
     @pl.when(i == 0)
     def _():
-        ou_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :] = pu
+        ou_ref[:, pl.ds(pl.multiple_of(u * ut, ut), ut)] = pu
 
     @pl.when(i != 0)
     def _():
-        ou_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :] += pu
+        ou_ref[:, pl.ds(pl.multiple_of(u * ut, ut), ut)] += pu
 
     @pl.when(u == 0)
     def _():
@@ -484,7 +623,7 @@ def bipartite_dual_matmul(
     assert up % ut == 0 and ip % it == 0, "pad A to the dual tile grid"
     d = xu.shape[1]
     grid = (up // ut, ip // it)
-    ou, oi_t = pl.pallas_call(
+    ou_t, oi_t = pl.pallas_call(
         _dual_kernel,
         grid=grid,
         in_specs=[
@@ -493,11 +632,11 @@ def bipartite_dual_matmul(
             pl.BlockSpec((ip, d), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((up, d), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, up), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, ip), lambda u, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((up, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, up), jnp.float32),
             jax.ShapeDtypeStruct((d, ip), jnp.float32),
         ],
         compiler_params=None
@@ -505,7 +644,7 @@ def bipartite_dual_matmul(
         else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(a_p, xu, xi)
-    return ou, oi_t.T
+    return ou_t.T, oi_t.T
 
 
 def bipartite_dual_matmul_xla(a_p, xu, xi):

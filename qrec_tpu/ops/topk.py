@@ -255,11 +255,19 @@ def pallas_catalog_topk(
     k: int,
     batch_size: int = 256,
     mask_value: float = 0.0,
+    mesh=None,
+    interpret: bool = False,
 ):
     """Full-catalog top-k via the fused Pallas masked scorer
     (ops/pallas_kernels.masked_catalog_scores): the rated-item masking runs
     in-kernel from the packed bitmask; items are zero-padded to the kernel's
-    item tile. Returns (ids, scores) numpy arrays of shape (B, k)."""
+    item tile. Returns (ids, scores) numpy arrays of shape (B, k).
+
+    With an active ``mesh``, user blocks shard over ALL mesh devices under
+    shard_map — each device runs the fused kernel + local top-k on its user
+    rows against the full catalog (item table all-gathered once per call by
+    GSPMD), so the fused-masking win survives multi-chip with zero merge
+    collectives (users, unlike items, partition the output exactly)."""
     from .pallas_kernels import ITEM_TILE, masked_catalog_scores
 
     i, d = item_emb.shape
@@ -272,9 +280,10 @@ def pallas_catalog_topk(
         (bitmask.shape[0], words), dtype=jnp.uint32
     ).at[:, : bitmask.shape[1]].set(bitmask)
 
-    @partial(jax.jit, static_argnames=())
-    def one_batch(u_block, m_block, unseen):
-        scores = masked_catalog_scores(u_block, v_pad, m_block, mask_value)
+    def score_block(u_block, m_block, unseen, v_full):
+        scores = masked_catalog_scores(
+            u_block, v_full, m_block, mask_value, interpret=interpret
+        )
         # unseen users score the global mean everywhere
         scores = jnp.where(
             unseen[:, None], jnp.full_like(scores, global_mean), scores
@@ -284,6 +293,23 @@ def pallas_catalog_topk(
         scores = jnp.where(col_ok[None, :], scores, -jnp.inf)
         s, idx = jax.lax.top_k(scores, k)
         return idx.astype(jnp.int32), s
+
+    if mesh is None:
+        one_batch = jax.jit(lambda u, m, un: score_block(u, m, un, v_pad))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        n_dev = int(np.prod(mesh.devices.shape))
+        batch_size = -(-batch_size // n_dev) * n_dev
+        sharded = jax.shard_map(
+            score_block,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(axes, None), P(axes), P(None, None)),
+            out_specs=(P(axes, None), P(axes, None)),
+            check_vma=False,
+        )
+        one_batch = jax.jit(lambda u, m, un: sharded(u, m, un, v_pad))
 
     b = len(uids)
     ids_out = np.empty((b, k), dtype=np.int32)

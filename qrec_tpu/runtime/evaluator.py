@@ -57,17 +57,16 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
     # eval.backend=auto|xla|pallas: the fused masked-scorer kernel (rated-
     # item masking from the packed bitmask in VMEM) for plain embedding
     # models — the TPU default since parity-testing (scripts/tpu_verify.py;
-    # metrics match the XLA path within bf16 noise). Single-device only: an
-    # active mesh routes through the item-sharded shard_map path instead.
+    # metrics match the XLA path within bf16 noise). Under an active mesh
+    # the same kernel runs with user blocks sharded over all devices
+    # (ops/topk.pallas_catalog_topk mesh path).
     import jax
 
     from ..models.base import Recommender as _RecBase
 
     eval_backend = conf.get("eval.backend", "auto")
     backend_wants_pallas = eval_backend == "pallas" or (
-        eval_backend == "auto"
-        and jax.default_backend() == "tpu"
-        and getattr(model, "mesh", None) is None
+        eval_backend == "auto" and jax.default_backend() == "tpu"
     )
     use_pallas = (
         backend_wants_pallas
@@ -88,6 +87,8 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
             model.rated_bitmask,
             data.global_mean,
             n,
+            mesh=getattr(model, "mesh", None),
+            interpret=jax.default_backend() != "tpu",
         )
     else:
         score_fn, params = model.score_fn_params()

@@ -121,7 +121,8 @@ def test_resolve_ssl_backend_policy(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert L.resolve_ssl_backend(conf, 4096) == ("pallas", False)
     assert L.resolve_ssl_backend(conf, 512) == ("xla", False)  # small batch
-    assert L.resolve_ssl_backend(conf, 4096, mesh=object()) == ("xla", False)
+    # a mesh no longer downgrades: the fused kernel runs row-sharded
+    assert L.resolve_ssl_backend(conf, 4096, mesh=object()) == ("pallas", False)
     conf2 = ModelConf({"ssl.backend": "pallas"})
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert L.resolve_ssl_backend(conf2, 64) == ("pallas", True)
@@ -181,3 +182,33 @@ def test_dual_joint_matmul_grad_matches_xla(tiny_data):
     l2, g2 = jax.value_and_grad(loss)(e, adj_xla)
     np.testing.assert_allclose(float(l1), float(l2), rtol=2e-3)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-3, atol=5e-3)
+
+
+def test_sharded_infonce_matches_single_device():
+    """The mesh-sharded fused InfoNCE (rows over the 'data' axis) must match
+    the single-device kernel and the XLA loss — value and both gradients —
+    including the non-divisible-batch padding path through the dispatcher."""
+    from qrec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)  # data=4, model=2
+    rng = np.random.RandomState(9)
+    b, d = 300, 8  # pads to 304? no — to data-divisible tile multiple
+    v1 = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(b, d).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b) > 0.3).astype(np.float32))
+
+    got = L.infonce_dispatch(v1, v2, mask, 0.2, "pallas", True, mesh=mesh)
+    expected = L.masked_infonce(v1, v2, mask, 0.2)
+    assert float(got) == pytest.approx(float(expected), rel=1e-4)
+
+    g1s = jax.grad(
+        lambda a: L.infonce_dispatch(a, v2, mask, 0.2, "pallas", True, mesh=mesh)
+    )(v1)
+    g1x = jax.grad(lambda a: L.masked_infonce(a, v2, mask, 0.2))(v1)
+    assert np.allclose(np.asarray(g1s), np.asarray(g1x), atol=2e-4)
+
+    g2s = jax.grad(
+        lambda a: L.infonce_dispatch(v1, a, mask, 0.2, "pallas", True, mesh=mesh)
+    )(v2)
+    g2x = jax.grad(lambda a: L.masked_infonce(v1, a, mask, 0.2))(v2)
+    assert np.allclose(np.asarray(g2s), np.asarray(g2x), atol=2e-4)

@@ -107,3 +107,33 @@ def test_pallas_eval_backend_matches_xla(tiny_data, monkeypatch):
     )
     assert np.allclose(scores_x, scores_p, atol=1e-5)
     assert (ids_x == ids_p).all()
+
+
+def test_pallas_eval_mesh_sharded_matches_xla(tiny_data):
+    """The fused masked-scorer eval with user blocks sharded over the
+    8-device mesh must reproduce the XLA ranker exactly (interpret mode)."""
+    from qrec_tpu.ops.sampling import pack_bitmask
+    from qrec_tpu.ops.topk import pallas_catalog_topk
+    from qrec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(8)
+    d = 8
+    U = jnp.asarray(rng.randn(tiny_data.num_users, d).astype(np.float32))
+    V = jnp.asarray(rng.randn(tiny_data.num_items, d).astype(np.float32))
+    bitmask = jnp.asarray(
+        pack_bitmask(
+            tiny_data.u_indptr, tiny_data.u_indices,
+            tiny_data.num_users, tiny_data.num_items,
+        )
+    )
+    ranker = CatalogRanker(tiny_data, k=3, batch_size=4)
+    ids_x, scores_x = ranker.topk(
+        embedding_score_fn, {"user_emb": U, "item_emb": V}
+    )
+    ids_s, scores_s = pallas_catalog_topk(
+        U, V, ranker.uids, bitmask, tiny_data.global_mean, 3,
+        batch_size=8, mesh=mesh, interpret=True,
+    )
+    assert np.allclose(scores_x, scores_s, atol=1e-5)
+    assert (ids_x == ids_s).all()
