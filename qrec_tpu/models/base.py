@@ -501,6 +501,11 @@ class IterativeRecommender(Recommender):
         one.
         """
         max_epoch = max_epoch or self.max_epoch
+        # ``evaluation.setup ... -tf`` selects the reference's TF path —
+        # minibatch Adam at fixed LR — over the NumPy-SGD bold-driver loop
+        # (base/recommender.py:194-201; e.g. BPR.py:77-96 trainModel_tf)
+        if mode == "bold" and self.eval_settings.contains("-tf"):
+            mode = "adam"
         if mode == "adam":
             optimizer = optax.adam(self.lrate)
         elif mode == "bold":

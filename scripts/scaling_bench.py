@@ -63,13 +63,21 @@ def build(conf_overrides=None):
     return conf, Interactions(conf, train, test)
 
 
-def measure(n_devices):
-    conf, data = build(
+def measure(n_devices, model_name="BPR", graph_backend=None):
+    over = (
         {"parallel.setup": f"on -model {2 if n_devices % 2 == 0 and n_devices > 1 else 1}"}
         if n_devices > 1
         else {}
     )
-    model = get_model("BPR")(conf, data)
+    if model_name == "LightGCN":
+        over["model.name"] = "LightGCN"
+        over["LightGCN"] = "-n_layer 2"
+        # keep auto off the dense path so the SpMM backend under test runs
+        over["graph.dense.limit"] = "1"
+    if graph_backend:
+        over["graph.backend"] = graph_backend
+    conf, data = build(over)
+    model = get_model(model_name)(conf, data)
     if n_devices > 1:
         from qrec_tpu.parallel.mesh import make_mesh, shardings
 
@@ -112,18 +120,38 @@ def main():
             "N 'devices' share one host's cores; run with QREC_SCALING_TPU=1 "
             "on real multi-chip hardware for efficiencies)"
         )
-    for s in sizes:
-        eps = measure(s)
-        if base is None:
-            base = eps
-        if real_hw:
-            eff = eps / (base * s) * 100
-            print(
-                f"mesh={s}: {eps:,.0f} ex/s  scaling efficiency {eff:.0f}%",
-                flush=True,
-            )
-        else:
-            print(f"mesh={s}: {eps:,.0f} ex/s  [mechanics check: OK]", flush=True)
+    # three workloads: the shallow MF step (embedding + psum grads), and the
+    # graph-propagation epoch through BOTH mesh SpMM backends — the XLA COO
+    # segment-sum path and the row-shard-partitioned Pallas scatter
+    # (ShardedPaddedCOO; interpret-mode kernel off-TPU, so off-TPU its
+    # numbers validate mechanics, not speed)
+    cases = [
+        ("BPR/embedding", dict(model_name="BPR")),
+        ("LightGCN/coo", dict(model_name="LightGCN", graph_backend="coo")),
+        ("LightGCN/sharded-pallas", dict(model_name="LightGCN", graph_backend="pallas")),
+    ]
+    for label, kw in cases:
+        base = None
+        for s in sizes:
+            if label.endswith("sharded-pallas") and s == 1 and not real_hw:
+                # single-device pallas off-TPU = interpret-mode kernel; its
+                # wall time says nothing — skip the degenerate point
+                continue
+            eps = measure(s, **kw)
+            if base is None:
+                base = (eps, s)
+            if real_hw:
+                eff = eps * base[1] / (base[0] * s) * 100
+                print(
+                    f"[{label}] mesh={s}: {eps:,.0f} ex/s  "
+                    f"scaling efficiency {eff:.0f}%",
+                    flush=True,
+                )
+            else:
+                print(
+                    f"[{label}] mesh={s}: {eps:,.0f} ex/s  [mechanics check: OK]",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

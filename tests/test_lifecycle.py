@@ -150,3 +150,32 @@ def test_load_missing_file_raises(tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         QRec(conf, seed=3).execute()
+
+
+def test_tf_flag_selects_adam_path(tmp_path, capsys):
+    """``evaluation.setup ... -tf`` routes a bold-driver model through the
+    fixed-LR Adam path (the reference's trainModel_tf switch,
+    base/recommender.py:194-201): the printed learning rate stays constant
+    instead of following the x1.05/x0.5 bold-driver schedule."""
+    ratings = _write_block_dataset(tmp_path, implicit=False)
+    over = {
+        "model.name": "BasicMF",
+        "item.ranking": "off -topN 5",
+        "num.max.epoch": "6",
+        "learnRate": "-init 0.02 -max 1",
+    }
+
+    def lrs(evaluation):
+        conf = _conf(tmp_path, ratings, **dict(over, **{"evaluation.setup": evaluation}))
+        QRec(conf, seed=2).execute()
+        out = capsys.readouterr().out
+        return [
+            line.split("learning_rate = ")[1].split(" ")[0]
+            for line in out.splitlines()
+            if "learning_rate" in line
+        ]
+
+    bold_lrs = lrs("-ap 0.2")
+    assert len(set(bold_lrs)) > 1  # bold driver adapts
+    tf_lrs = lrs("-ap 0.2 -tf")
+    assert len(set(tf_lrs)) == 1  # fixed-LR Adam
