@@ -71,7 +71,13 @@ class Recommender:
 
     def print_config(self) -> None:
         """Model banner (base/recommender.py:44-61)."""
+        import os
+
         print("Model:", self.model_name)
+        if self.config.contains("ratings"):
+            print("Ratings dataset:", os.path.abspath(self.config["ratings"]))
+        if self.eval_settings.contains("-testSet"):
+            print("Test set:", os.path.abspath(self.eval_settings["-testSet"]))
         print(
             "Training set size: (user count: %d, item count %d, record count: %d)"
             % self.data.trainingSize()
