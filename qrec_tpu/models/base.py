@@ -520,7 +520,13 @@ class IterativeRecommender(Recommender):
             )
         else:
             raise ValueError(mode)
-        run_epoch = T.make_epoch_runner(loss_fn, optimizer)
+        # donate params/opt_state on TPU: the tables + Adam moments are the
+        # only large state, and in-place updates halve the epoch's transient
+        # HBM footprint. The loop below never reuses a donated input — the
+        # best-params snapshot copies.
+        run_epoch = T.make_epoch_runner(
+            loss_fn, optimizer, donate=jax.default_backend() == "tpu"
+        )
         opt_state = optimizer.init(params)
 
         bold = T.BoldDriver(self.lrate, self.max_lrate) if mode == "bold" else None
@@ -645,9 +651,13 @@ class IterativeRecommender(Recommender):
                     ranker, embedding_score_fn, sp, self._top_n
                 )
                 if tracker.update(epoch + tracker.epoch_offset, metrics):
-                    # jnp arrays are immutable snapshots; stored on the
-                    # tracker so a shared tracker spans multi-phase fits
-                    tracker.best_params = params
+                    # deep-copy: the live params buffers are DONATED to the
+                    # next epoch's jitted call on TPU (in-place update), so
+                    # the snapshot must own its storage. Stored on the
+                    # tracker so a shared tracker spans multi-phase fits.
+                    tracker.best_params = jax.tree_util.tree_map(
+                        jnp.copy, params
+                    )
             if conv is not None:
                 if conv.check(loss_val):
                     break
