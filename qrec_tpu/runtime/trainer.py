@@ -16,7 +16,7 @@ the reference's control policies:
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
