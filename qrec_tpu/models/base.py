@@ -785,11 +785,14 @@ class GraphRecommender(IterativeRecommender):
                         "graph.dense.dual=on is single-device only; using"
                         " the partitionable two-matmul path under the mesh"
                     )
-                # auto only engages when the kernel's pinned VMEM working set
-                # (x inputs + f32 accumulators + streamed A tile) fits the
-                # Mosaic budget — a skewed shape within the dense entry
-                # budget would fail compilation where the two-matmul XLA
-                # path works. An explicit =on is honored as requested.
+                # Round-3 measurement (scripts/dual_bench.py, v5e, lastfm):
+                # inside the scan-based epoch the XLA two-matmul path
+                # streams the adjacency at ~570 GB/s (~70% of HBM peak), so
+                # halving the reads with the dual kernel nets ZERO at its
+                # measured ~290 GB/s effective rate (epoch 33.2 ms XLA vs
+                # 33.9 ms dual). auto therefore resolves to the XLA path;
+                # =on keeps the kernel available (gated on its pinned-VMEM
+                # footprint estimate for skewed shapes).
                 from ..ops.pallas_kernels import DUAL_VMEM_LIMIT, dual_vmem_bytes
 
                 dual_fits_vmem = (
@@ -798,10 +801,12 @@ class GraphRecommender(IterativeRecommender):
                     )
                     <= int(DUAL_VMEM_LIMIT * 0.9)
                 )
-                use_dual = not on_mesh and (
-                    dual_conf == "on"
-                    or (dual_conf == "auto" and on_tpu and dual_fits_vmem)
-                )
+                use_dual = not on_mesh and dual_conf == "on" and dual_fits_vmem
+                if dual_conf == "on" and not dual_fits_vmem:
+                    print(
+                        "graph.dense.dual=on exceeds the kernel's VMEM "
+                        "budget for this shape; using the two-matmul path"
+                    )
                 self._joint_adj = DenseJoint.from_interactions(
                     self.data,
                     dual=use_dual,

@@ -551,8 +551,13 @@ def weighted_segment_matmul_xla(
 # bipartite dual-product: {A @ xi, Aᵀ @ xu} in ONE pass over A
 # ---------------------------------------------------------------------------
 
-DUAL_U_TILE = 512
-DUAL_I_TILE = 1024
+# measured on one v5e (lastfm shape, d=50, chained fwd+bwd per application,
+# scripts/dual_tile_sweep.py, round 3): (512,1024) 1.56 ms, (1024,2048)
+# 0.98 ms, (512,4096) 1.72 ms, (2048,4096) fails Mosaic's store-alignment
+# check — larger tiles amortize the per-tile grid/accumulate overhead until
+# the A tile (8 MB double-buffered at 1024×2048) crowds VMEM
+DUAL_U_TILE = 1024
+DUAL_I_TILE = 2048
 
 
 def _dual_kernel(a_ref, xu_ref, xi_ref, ou_ref, oi_ref):

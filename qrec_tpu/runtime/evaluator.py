@@ -55,19 +55,20 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
         mesh=getattr(model, "mesh", None),
     )
     # eval.backend=auto|xla|pallas: the fused masked-scorer kernel (rated-
-    # item masking from the packed bitmask in VMEM) for plain embedding
-    # models — the TPU default since parity-testing (scripts/tpu_verify.py;
-    # metrics match the XLA path within bf16 noise). Under an active mesh
-    # the same kernel runs with user blocks sharded over all devices
+    # item masking from the packed bitmask in VMEM) is OPT-IN — an honest
+    # end-to-end timing (bench.py round 3: 64 ms vs the XLA ranker's 7.5 ms
+    # for all lastfm test users) shows the in-kernel bit-expansion masking
+    # costs more than the XLA path's materialized mask at catalog scales
+    # that fit HBM, so auto resolves to the XLA ranker. Metrics parity
+    # between the two is still asserted (scripts/tpu_verify.py). Under an
+    # active mesh the kernel runs with user blocks sharded over all devices
     # (ops/topk.pallas_catalog_topk mesh path).
     import jax
 
     from ..models.base import Recommender as _RecBase
 
     eval_backend = conf.get("eval.backend", "auto")
-    backend_wants_pallas = eval_backend == "pallas" or (
-        eval_backend == "auto" and jax.default_backend() == "tpu"
-    )
+    backend_wants_pallas = eval_backend == "pallas"
     use_pallas = (
         backend_wants_pallas
         and getattr(model, "U", None) is not None

@@ -86,7 +86,7 @@ def epoch_times():
         n = len(data.training_data)
         print(
             f"graph.dense.dual={dual}: epoch {dt * 1e3:.2f} ms "
-            f"({n / dt:,.0f} ex/s)",
+            f"({n / dt:,.0f} ex/s) final_loss={float(loss):.2f}",
             flush=True,
         )
 

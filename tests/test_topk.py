@@ -71,20 +71,9 @@ def test_topk_device_matches_host_path(tiny_data):
     assert (ids_h == np.asarray(ids_d)).all()
 
 
-def test_pallas_eval_backend_matches_xla(tiny_data, monkeypatch):
+def test_pallas_eval_backend_matches_xla(tiny_data):
     """eval.backend=pallas produces the same recommendations as the XLA
     path (interpret-mode kernel on CPU)."""
-    import qrec_tpu.ops.pallas_kernels as pk
-
-    # route the kernel through interpret mode on CPU
-    orig = pk.masked_catalog_scores
-
-    def interp(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    monkeypatch.setattr(pk, "masked_catalog_scores", interp)
-
     from qrec_tpu.ops.sampling import pack_bitmask
     from qrec_tpu.ops.topk import pallas_catalog_topk
 
@@ -103,7 +92,8 @@ def test_pallas_eval_backend_matches_xla(tiny_data, monkeypatch):
         embedding_score_fn, {"user_emb": U, "item_emb": V}
     )
     ids_p, scores_p = pallas_catalog_topk(
-        U, V, ranker.uids, bitmask, tiny_data.global_mean, 3, batch_size=4
+        U, V, ranker.uids, bitmask, tiny_data.global_mean, 3, batch_size=4,
+        interpret=True,
     )
     assert np.allclose(scores_x, scores_p, atol=1e-5)
     assert (ids_x == ids_p).all()
