@@ -795,9 +795,12 @@ class GraphRecommender(IterativeRecommender):
                 # footprint estimate for skewed shapes).
                 from ..ops.pallas_kernels import DUAL_VMEM_LIMIT, dual_vmem_bytes
 
+                # widest x the model will push through spmm — SimGCL's
+                # fused 3-view propagation concatenates views to (N, 3d)
+                spmm_width = getattr(self, "spmm_width", self.emb_size)
                 dual_fits_vmem = (
                     dual_vmem_bytes(
-                        self.num_users, self.num_items, self.emb_size
+                        self.num_users, self.num_items, spmm_width
                     )
                     <= int(DUAL_VMEM_LIMIT * 0.9)
                 )

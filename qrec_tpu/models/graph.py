@@ -262,6 +262,9 @@ class SimGCL(GraphRecommender):
         self.cl_rate = args.get_float("-lambda")
         self.eps = args.get_float("-eps")
         self.n_layers = args.get_int("-n_layer")
+        # fused 3-view propagation (encode_all) pushes (N, 3d) through
+        # spmm — the dual kernel's VMEM guard must budget for that width
+        self.spmm_width = 3 * self.emb_size
 
     def build(self):
         # xavier embedding init (SimGCL.py:42-44)
@@ -291,32 +294,50 @@ class SimGCL(GraphRecommender):
             out = acc / n_layers
             return out[:nu], out[nu:]
 
-        def encode_perturbed(params, rng):
-            e = jnp.concatenate([params["user_emb"], params["item_emb"]])
-            acc = 0
-            for k in range(n_layers):
-                e = spmm(adj, e)
-                noise = jax.random.uniform(jax.random.fold_in(rng, k), e.shape)
-                noise = noise / (
-                    jnp.linalg.norm(noise, axis=1, keepdims=True) + 1e-12
+        def _perturb(e, rng, k):
+            noise = jax.random.uniform(jax.random.fold_in(rng, k), e.shape)
+            noise = noise / (
+                jnp.linalg.norm(noise, axis=1, keepdims=True) + 1e-12
+            )
+            return e + jnp.sign(e) * noise * eps
+
+        def encode_all(params, ra, rb):
+            """Main + two perturbed encoders in ONE propagation stream.
+
+            All three views propagate through the SAME adjacency, so each
+            layer runs one ``spmm`` on the feature-concatenated (N, 3d)
+            state instead of three (N, d) passes — the propagation is
+            adjacency-bandwidth-bound (PARITY.md roofline), so this cuts
+            the dominant HBM traffic ~3x. Layer 1 is shared outright: the
+            perturbed views differ from the main view only AFTER their
+            first noise injection (SimGCL.py:30-38). Per-view noise keys
+            match the unfused encoders bit-for-bit.
+            """
+            e0 = jnp.concatenate([params["user_emb"], params["item_emb"]])
+            z = spmm(adj, e0)
+            states = [z, _perturb(z, ra, 0), _perturb(z, rb, 0)]
+            accs = list(states)
+            for k in range(1, n_layers):
+                zs = jnp.split(
+                    spmm(adj, jnp.concatenate(states, axis=1)), 3, axis=1
                 )
-                e = e + jnp.sign(e) * noise * eps
-                acc = acc + e
-            out = acc / n_layers
-            return out[:nu], out[nu:]
+                states = [zs[0], _perturb(zs[1], ra, k), _perturb(zs[2], rb, k)]
+                accs = [a + s for a, s in zip(accs, states)]
+            outs = [a / n_layers for a in accs]
+            return [(o[:nu], o[nu:]) for o in outs]
 
         def loss_fn(params, batch, rng):
             u, i, j, w = batch
-            users, items = encode_main(params)
+            ra, rb = jax.random.split(rng)
+            (users, items), (p1u, p1i), (p2u, p2i) = encode_all(
+                params, ra, rb
+            )
             pu, qi, qj = users[u], items[i], items[j]
             pos = jnp.sum(pu * qi, axis=1)
             neg = jnp.sum(pu * qj, axis=1)
             rec = L.bpr_loss(pos, neg, w) + reg_u * (
                 _l2(pu, w) + _l2(qi, w) + _l2(qj, w)
             )
-            ra, rb = jax.random.split(rng)
-            p1u, p1i = encode_perturbed(params, ra)
-            p2u, p2i = encode_perturbed(params, rb)
             uu, um = L.unique_padded(u)
             iu, im = L.unique_padded(i)
             cl = L.infonce_dispatch(

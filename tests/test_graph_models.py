@@ -119,3 +119,84 @@ def test_dense_dual_backend_matches_xla(tmp_path):
     rx = parse_measure(m_xla)["Top 10"]
     assert rd["Recall"] > 0.5, rd
     assert abs(rd["Recall"] - rx["Recall"]) < 0.05, (rd, rx)
+
+
+def test_simgcl_fused_views_match_unfused(tmp_path):
+    """SimGCL's batched 3-view propagation (one (N, 3d) spmm per layer +
+    shared first layer) must reproduce the naive three-encoder computation
+    exactly — the per-view noise keys are constructed identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from qrec_tpu.data.dataset import Interactions
+    from qrec_tpu.io import load_ratings
+    from qrec_tpu.models import get_model
+    from qrec_tpu.ops.spmm import spmm
+
+    ratings = _write_block_dataset(tmp_path)
+    conf = _conf(
+        tmp_path, ratings, "SimGCL", {"SimGCL": "-n_layer 3 -lambda 0.05 -eps 0.1"}
+    )
+    from qrec_tpu.data.split import data_split
+    import random as _random
+
+    all_data = load_ratings(conf, conf["ratings"], binarized=False, threshold=0.0)
+    train, test = data_split(all_data, 0.2, binarized=False, rng=_random.Random(0))
+    data = Interactions(conf, train, test)
+    model = get_model("SimGCL")(conf, data)
+    spec = model.build()
+
+    adj, nu, nl, eps = model.joint_adj, model.num_users, model.n_layers, model.eps
+    params = spec.params
+    rng = jax.random.PRNGKey(42)
+    batches = spec.sampler(rng)
+    batch = jax.tree_util.tree_map(lambda x: x[0], batches)
+    fused_loss = float(spec.loss_fn(params, batch, rng))
+
+    # naive unfused reference computation (pre-fusion code path)
+    def encode_main(params):
+        e = jnp.concatenate([params["user_emb"], params["item_emb"]])
+        acc = 0
+        for _ in range(nl):
+            e = spmm(adj, e)
+            acc = acc + e
+        out = acc / nl
+        return out[:nu], out[nu:]
+
+    def encode_perturbed(params, key):
+        e = jnp.concatenate([params["user_emb"], params["item_emb"]])
+        acc = 0
+        for k in range(nl):
+            e = spmm(adj, e)
+            noise = jax.random.uniform(jax.random.fold_in(key, k), e.shape)
+            noise = noise / (jnp.linalg.norm(noise, axis=1, keepdims=True) + 1e-12)
+            e = e + jnp.sign(e) * noise * eps
+            acc = acc + e
+        out = acc / nl
+        return out[:nu], out[nu:]
+
+    from qrec_tpu.ops import losses as L
+
+    u, i, j, w = batch
+    users, items = encode_main(params)
+    pu, qi, qj = users[u], items[i], items[j]
+    pos = jnp.sum(pu * qi, axis=1)
+    neg = jnp.sum(pu * qj, axis=1)
+    rec = L.bpr_loss(pos, neg, w) + model.reg_u * (
+        0.5 * jnp.sum(w[:, None] * pu**2)
+        + 0.5 * jnp.sum(w[:, None] * qi**2)
+        + 0.5 * jnp.sum(w[:, None] * qj**2)
+    )
+    ra, rb = jax.random.split(rng)
+    p1u, p1i = encode_perturbed(params, ra)
+    p2u, p2i = encode_perturbed(params, rb)
+    uu, um = L.unique_padded(u)
+    iu, im = L.unique_padded(i)
+    cl = L.infonce_dispatch(p1u[uu], p2u[uu], um, model.cl_temp, "xla", False)
+    cl = cl + L.infonce_dispatch(p1i[iu], p2i[iu], im, model.cl_temp, "xla", False)
+    naive_loss = float(rec + model.cl_rate * cl)
+
+    assert abs(fused_loss - naive_loss) < 1e-3 * max(1.0, abs(naive_loss)), (
+        fused_loss,
+        naive_loss,
+    )
