@@ -74,3 +74,21 @@ def test_model_conf_file(tmp_path):
 def test_model_conf_missing_file():
     with pytest.raises(ConfigError):
         ModelConf("/nonexistent/path.conf")
+
+
+def test_all_shipped_confs_parse():
+    """Every bundled config/*.conf must parse and name a registered model —
+    guards against format drift (ModelConf has no comment syntax, matching
+    the reference parser util/config.py:8-13)."""
+    import glob
+    import os
+
+    from qrec_tpu.models import get_model
+
+    root = os.path.join(os.path.dirname(__file__), "..", "config")
+    paths = sorted(glob.glob(os.path.join(root, "*.conf")))
+    assert len(paths) >= 46, paths
+    for p in paths:
+        conf = ModelConf(p)
+        get_model(conf["model.name"])
+        assert conf.contains("evaluation.setup"), p
