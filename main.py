@@ -14,7 +14,7 @@ import time
 MODELS = {
     "Generic Recommenders": {
         "s1": "UserKNN", "s2": "ItemKNN", "s3": "BasicMF", "s4": "SlopeOne",
-        "s5": "SVD", "s6": "PMF", "s7": "SVDPlusPlus", "s8": "EE",
+        "s5": "SVD", "s6": "PMF", "s7": "SVD++", "s8": "EE",
         "s9": "BPR", "s10": "WRMF", "s11": "ExpoMF",
     },
     "Social Recommenders": {

@@ -165,6 +165,9 @@ class ModelConf:
         """Model-specific parameter line, e.g. ``LightGCN=-n_layer 2``
         (reference: base/recommender.py:55-61)."""
         name = self["model.name"]
-        if self.contains(name):
-            return OptionConf(self[name])
+        from .models import ALIASES  # local import: models package imports errors only
+
+        for key in (name, ALIASES.get(name)):
+            if key and self.contains(key):
+                return OptionConf(self[key])
         return None

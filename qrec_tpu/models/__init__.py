@@ -58,6 +58,8 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "ItemKNN": ("qrec_tpu.models.classical", "ItemKNN"),
     "SlopeOne": ("qrec_tpu.models.classical", "SlopeOne"),
     "SVDPlusPlus": ("qrec_tpu.models.classical", "SVDPlusPlus"),
+    # reference display name (main.py:41-49 menu-maps "SVD++" to config/SVD++.conf)
+    "SVD++": ("qrec_tpu.models.classical", "SVDPlusPlus"),
     "EE": ("qrec_tpu.models.classical", "EE"),
     # walk-based network embedding
     "CUNE_MF": ("qrec_tpu.models.walk", "CUNE_MF"),
@@ -71,6 +73,13 @@ _REGISTRY: Dict[str, Tuple[str, str]] = {
     "ExpoMF": ("qrec_tpu.models.als", "ExpoMF"),
     "CoFactor": ("qrec_tpu.models.als", "CoFactor"),
     "SERec": ("qrec_tpu.models.als", "SERec"),
+}
+
+# display name -> canonical registry/conf-key name (the reference's conf files
+# key model arguments under the *class* name, e.g. SVD++.conf carries
+# ``SVDPlusPlus=-y 0.01``)
+ALIASES: Dict[str, str] = {
+    "SVD++": "SVDPlusPlus",
 }
 
 

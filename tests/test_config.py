@@ -83,11 +83,17 @@ def test_all_shipped_confs_parse():
     import glob
     import os
 
-    from qrec_tpu.models import get_model
+    from qrec_tpu.models import available_models, get_model
 
     root = os.path.join(os.path.dirname(__file__), "..", "config")
     paths = sorted(glob.glob(os.path.join(root, "*.conf")))
-    assert len(paths) >= 46, paths
+    # every registered model name ships exactly one conf under its own name
+    # (the registry includes the "SVD++" display alias, which ships SVD++.conf)
+    shipped = {os.path.splitext(os.path.basename(p))[0] for p in paths}
+    assert shipped == set(available_models()), (
+        sorted(set(available_models()) - shipped),
+        sorted(shipped - set(available_models())),
+    )
     for p in paths:
         conf = ModelConf(p)
         get_model(conf["model.name"])
