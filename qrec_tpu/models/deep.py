@@ -342,6 +342,39 @@ class CDAE(IterativeRecommender):
         return score_fn, self.params
 
 
+def cfgan_fns(alpha):
+    """CFGAN generator/discriminator and losses (CFGAN.py:46-127), exposed at
+    module level for golden-value testing: G is a one-layer sigmoid decoder
+    over the condition row; D scores [x, c]; the G loss combines the
+    non-saturating log(1-D(fake)) term with the zero-reconstruction penalty
+    alpha/2·Σ(n_zr·fake)², and `mask` carries the partial-masking scheme
+    (positives + s_pm random non-rated columns)."""
+
+    def gen(g_params, c):
+        return jax.nn.sigmoid(c @ g_params["W1"] + g_params["b1"])
+
+    def disc(d_params, x, c):
+        return jax.nn.sigmoid(
+            jnp.concatenate([x, c], axis=1) @ d_params["W1"] + d_params["b1"]
+        )
+
+    def d_loss_fn(d_params, g_params, c, mask, n_zr):
+        fake = gen(g_params, c) * mask
+        d_real = disc(d_params, c, c)
+        d_fake = disc(d_params, fake, c)
+        return -jnp.mean(
+            jnp.log(d_real + 10e-5) + jnp.log(1.0 - d_fake + 10e-5)
+        )
+
+    def g_loss_fn(g_params, d_params, c, mask, n_zr):
+        fake = gen(g_params, c) * mask
+        d_fake = disc(d_params, fake, c)
+        zr = alpha * 0.5 * jnp.sum((n_zr * fake) ** 2)
+        return jnp.mean(jnp.log(1.0 - d_fake + 10e-5)) + zr
+
+    return gen, disc, d_loss_fn, g_loss_fn
+
+
 class CFGAN(IterativeRecommender):
     """Conditional GAN over full rating vectors with zero-reconstruction and
     partial-masking negatives (CFGAN.py). One batch per epoch; 1 D step then
@@ -366,16 +399,9 @@ class CFGAN(IterativeRecommender):
         rated = (r_dense > 0).astype(jnp.float32)
         bs = self.batch_size
         num_users, num_items = self.num_users, self.num_items
-        s_zr, s_pm, alpha = self.s_zr, self.s_pm, self.alpha
+        s_zr, s_pm = self.s_zr, self.s_pm
 
-        def gen(g_params, c):
-            return jax.nn.sigmoid(c @ g_params["W1"] + g_params["b1"])
-
-        def disc(d_params, x, c):
-            return jax.nn.sigmoid(
-                jnp.concatenate([x, c], axis=1) @ d_params["W1"] + d_params["b1"]
-            )
-
+        gen, disc, d_loss_fn, g_loss_fn = cfgan_fns(self.alpha)
         self._gen = gen
 
         def batch_data(rng):
@@ -387,20 +413,6 @@ class CFGAN(IterativeRecommender):
             extra = jax.random.bernoulli(r3, s_pm, c.shape) * (1 - pos)
             mask = pos + extra
             return c, mask.astype(jnp.float32), n_zr.astype(jnp.float32)
-
-        def d_loss_fn(d_params, g_params, c, mask, n_zr):
-            fake = gen(g_params, c) * mask
-            d_real = disc(d_params, c, c)
-            d_fake = disc(d_params, fake, c)
-            return -jnp.mean(
-                jnp.log(d_real + 10e-5) + jnp.log(1.0 - d_fake + 10e-5)
-            )
-
-        def g_loss_fn(g_params, d_params, c, mask, n_zr):
-            fake = gen(g_params, c) * mask
-            d_fake = disc(d_params, fake, c)
-            zr = alpha * 0.5 * jnp.sum((n_zr * fake) ** 2)
-            return jnp.mean(jnp.log(1.0 - d_fake + 10e-5)) + zr
 
         d_opt = optax.adam(self.lrate)
         g_opt = optax.adam(self.lrate)

@@ -26,6 +26,26 @@ def _uniform_init(rng, shape, scale=0.05):
     return jax.random.uniform(rng, shape, minval=-scale, maxval=scale)
 
 
+def generator_sampling_dist(prob, pos_pad, pos_mask, deg, lam=SAMPLE_LAMBDA):
+    """Importance-sampling proposal pn = (1-λ)·softmax + λ·uniform-over-
+    positives (IRGAN.py:146-153): each user's positive items get a λ/|pos|
+    probability bump. `pos_pad` is the padded (U, maxdeg) positive table,
+    `pos_mask` its validity mask, `deg` the true positive counts."""
+    bump = lam / jnp.maximum(deg, 1.0)
+    pn = (1 - lam) * prob
+    return pn.at[
+        jnp.arange(prob.shape[0])[:, None], pos_pad
+    ].add(bump[:, None] * pos_mask)
+
+
+def importance_reward(d_logits, prob, pn, sample):
+    """Policy-gradient reward 2·(σ(D)−0.5), importance-corrected by
+    prob/pn at the sampled items (IRGAN.py:155-160)."""
+    take = jnp.take_along_axis
+    reward = 2 * (jax.nn.sigmoid(d_logits) - 0.5)
+    return reward * take(prob, sample, 1) / jnp.maximum(take(pn, sample, 1), 1e-20)
+
+
 class IRGAN(IterativeRecommender):
     eval_batch_size = 512
 
@@ -129,12 +149,7 @@ class IRGAN(IterativeRecommender):
             logits = all_logits(gen, uids)
             log_prob = jax.nn.log_softmax(logits, axis=1)
             prob = jnp.exp(log_prob)
-            # pn = (1-λ)·prob, with λ/|pos| added on positives
-            bump = SAMPLE_LAMBDA / jnp.maximum(deg, 1.0)
-            pn = (1 - SAMPLE_LAMBDA) * prob
-            pn = pn.at[
-                jnp.arange(num_users)[:, None], pos_pad
-            ].add(bump[:, None] * pos_mask)
+            pn = generator_sampling_dist(prob, pos_pad, pos_mask, deg)
             sample = jax.random.categorical(
                 rng, jnp.log(pn + 1e-20), axis=1, shape=(k_gen, num_users)
             ).T  # (U, k_gen)
@@ -145,10 +160,7 @@ class IRGAN(IterativeRecommender):
             d_logits = jnp.einsum(
                 "ud,ukd->uk", dis["user_emb"], dis["item_emb"][sample]
             ) + dis["item_bias"][sample]
-            reward = 2 * (jax.nn.sigmoid(d_logits) - 0.5)
-            reward = reward * take(prob, sample, 1) / jnp.maximum(
-                take(pn, sample, 1), 1e-20
-            )
+            reward = importance_reward(d_logits, prob, pn, sample)
             reward = jax.lax.stop_gradient(reward) * samp_mask
 
             def g_loss(gen):

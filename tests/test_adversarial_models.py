@@ -61,6 +61,99 @@ def _conf(ratings, trust, name, extra=None):
     return ModelConf(base)
 
 
+# ---------------------------------------------------------------------------
+# Golden-value tests: NumPy ports of the reference formulas vs the jnp code.
+# ---------------------------------------------------------------------------
+
+
+def test_irgan_sampling_dist_golden():
+    """Importance-sampling proposal vs IRGAN.py:152-156:
+    pn = (1−λ)·softmax(logits); pn[pos] += λ/|pos|."""
+    import jax.numpy as jnp
+    from qrec_tpu.models.gan import generator_sampling_dist
+
+    r = np.random.RandomState(0)
+    n_u, n_i, maxdeg = 4, 9, 3
+    logits = r.randn(n_u, n_i).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    pos = np.array([[0, 1, 2], [3, 4, 0], [5, 0, 0], [6, 7, 8]], np.int32)
+    pmask = np.array([[1, 1, 1], [1, 1, 0], [1, 0, 0], [1, 1, 1]], np.float32)
+    deg = pmask.sum(1)
+    got = np.asarray(
+        generator_sampling_dist(jnp.asarray(prob), jnp.asarray(pos), jnp.asarray(pmask), jnp.asarray(deg), lam=0.2)
+    )
+    want = 0.8 * prob
+    for u in range(n_u):
+        for k in range(maxdeg):
+            if pmask[u, k]:
+                want[u, pos[u, k]] += 0.2 / deg[u]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got.sum(1), np.ones(n_u), rtol=1e-5)
+
+
+def test_irgan_importance_reward_golden():
+    """Reward vs IRGAN.py:159-162 (reward = 2(σ(D)−0.5), scaled by
+    prob[sample]/pn[sample] importance correction)."""
+    import jax.numpy as jnp
+    from qrec_tpu.models.gan import importance_reward
+
+    r = np.random.RandomState(1)
+    n_u, n_i, k = 3, 8, 5
+    prob = r.dirichlet(np.ones(n_i), n_u).astype(np.float32)
+    pn = r.dirichlet(np.ones(n_i), n_u).astype(np.float32)
+    sample = r.randint(0, n_i, (n_u, k)).astype(np.int32)
+    d_logits = r.randn(n_u, k).astype(np.float32)
+    got = np.asarray(
+        importance_reward(jnp.asarray(d_logits), jnp.asarray(prob), jnp.asarray(pn), jnp.asarray(sample))
+    )
+    sig = 1 / (1 + np.exp(-d_logits))
+    want = 2 * (sig - 0.5)
+    for u in range(n_u):
+        want[u] *= prob[u, sample[u]] / pn[u, sample[u]]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_esrf_gumbel_softmax_golden():
+    """gumbel_softmax vs ESRF.py:12-17: softmax → log(+eps) → +Gumbel noise
+    → softmax/T, with the noise replayed from the same PRNG key."""
+    import jax
+    import jax.numpy as jnp
+    from qrec_tpu.models.adversarial_social import gumbel_softmax
+
+    r = np.random.RandomState(2)
+    logits = r.randn(3, 7).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    got = np.asarray(gumbel_softmax(key, jnp.asarray(logits), 0.2))
+    u = np.asarray(jax.random.uniform(key, logits.shape))
+    eps = 1e-10
+    noise = -np.log(-np.log(u + eps) + eps)
+    sm = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    y = np.log(sm + eps) + noise
+    # softmax(y/T), max-shifted for stability
+    want = np.exp(y / 0.2 - (y / 0.2).max(-1, keepdims=True))
+    want /= want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)
+
+
+def test_esrf_concrete_selection_multi_hot():
+    """K Gumbel-softmax draws summed → soft multi-hot rows totalling K
+    (ESRF.py:106-113's getAlternativeNeighborhood)."""
+    import jax
+    import jax.numpy as jnp
+    from qrec_tpu.models.adversarial_social import gumbel_softmax
+
+    r = np.random.RandomState(3)
+    seg, K, n_u = 4, 3, 11
+    feats = r.randn(seg, n_u).astype(np.float32)
+    selector = r.randn(K, n_u).astype(np.float32)
+    alpha = feats[:, None, :] * selector[None, :, :]
+    draws = gumbel_softmax(jax.random.PRNGKey(9), jnp.asarray(alpha), 0.2)
+    multi_hot = np.asarray(jnp.sum(draws, axis=1))
+    assert multi_hot.shape == (seg, n_u)
+    np.testing.assert_allclose(multi_hot.sum(1), np.full(seg, float(K)), rtol=1e-4)
+    assert (multi_hot >= 0).all()
+
+
 def test_if_bpr_with_negative_feedback(tmp_path):
     ratings, trust = _write_dataset(tmp_path, with_negative=True)
     conf = _conf(
