@@ -26,6 +26,7 @@ import optax
 
 from ..config import ModelConf, OptionConf
 from ..data.dataset import Interactions
+from ..errors import ConvergenceError
 from ..data.social import SocialGraph
 from ..ops import sampling
 from ..ops.topk import CatalogRanker, embedding_score_fn
@@ -615,6 +616,64 @@ class IterativeRecommender(Recommender):
         # host before the next epoch may start (iterativeRecommender.py:56-63).
         pipelined = bold is None and rating_eval is None and ranker is None
         pending = None  # (epoch_idx, device_loss, lr_at_epoch)
+
+        # Chunked dispatch: when nothing on the host consumes per-epoch state
+        # (same predicate as lag-1 pipelining) and no checkpoint/mesh cadence
+        # must be honored, fold the device sampler into the jit and scan over
+        # up to ``train.chunk`` epochs per dispatch (default 8). The per-epoch
+        # (sampler_rng, step_rng) pairs are derived with the identical split
+        # sequence, so losses and final params are bit-identical to the
+        # one-epoch loop — only the host dispatch gap (measured ~5.5 ms/epoch
+        # over the remote-TPU tunnel, scripts/profile_epoch.py) is removed.
+        chunk = 1
+        if pipelined and ckpt is None and self.mesh is None:
+            raw = (
+                self.config["train.chunk"]
+                if self.config.contains("train.chunk")
+                else "auto"
+            ).strip()
+            chunk = 8 if raw == "auto" else max(1, int(raw))
+        if chunk > 1 and max_epoch - start_epoch > 1:
+            rng_backup = rng
+            try:
+                run_chunk = T.make_chunk_runner(
+                    loss_fn, optimizer, sampler,
+                    donate=jax.default_backend() == "tpu",
+                )
+                epoch = start_epoch
+                while epoch < max_epoch:
+                    e = min(chunk, max_epoch - epoch)
+                    pairs = []
+                    for _ in range(e):
+                        rng, rng_samp, rng_step = jax.random.split(rng, 3)
+                        pairs.append(jnp.stack([rng_samp, rng_step]))
+                    with timer:
+                        params, opt_state, losses = run_chunk(
+                            params, opt_state, jnp.stack(pairs)
+                        )
+                        losses = np.asarray(losses)
+                    wall = timer.last / e
+                    for k in range(e):
+                        loss_val = float(losses[k])
+                        T.check_finite(loss_val)
+                        _emit(epoch + k, loss_val, self.lrate, wall)
+                    epoch += e
+                    epochs_run = epoch
+                start_epoch = max_epoch  # the per-epoch loop below is done
+            except ConvergenceError:
+                raise
+            except Exception as exc:
+                # sampler not traceable under jit (host-side sampling) or any
+                # other trace-time failure: fall back to the per-epoch loop.
+                # Trace errors fire before execution, so donated buffers are
+                # still intact.
+                print(
+                    f"{self.model_name} {self.fold} chunked dispatch "
+                    f"unavailable ({type(exc).__name__}); using per-epoch loop"
+                )
+                rng = rng_backup
+                epochs_run = start_epoch
+
         for epoch in range(start_epoch, max_epoch):
             epochs_run = epoch + 1
             with timer:

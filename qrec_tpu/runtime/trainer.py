@@ -68,6 +68,53 @@ def make_epoch_runner(
     return jax.jit(run_epoch)
 
 
+def make_chunk_runner(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    sampler: Callable,
+    donate: bool = False,
+):
+    """Build a jitted MULTI-epoch runner: the sampler is folded into the jit
+    and a ``lax.scan`` runs E epochs per dispatch, so the per-epoch host
+    dispatch gap (measured ~5.5 ms/epoch through the remote-TPU tunnel,
+    scripts/profile_epoch.py) is paid once per chunk instead of once per
+    epoch.
+
+    ``rng_pairs`` is an (E, 2, 2) uint32 stack of per-epoch
+    ``(sampler_rng, step_rng)`` keys — the caller derives them with exactly
+    the same ``jax.random.split`` sequence as the one-epoch loop, so losses
+    and final params are bit-identical to E unchunked epochs. Returns
+    ``(params, opt_state, losses[E])``."""
+
+    def run_chunk(params, opt_state, rng_pairs):
+        def epoch_body(carry, pair):
+            params, opt_state = carry
+            batches = sampler(pair[0])
+            num_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            step_rngs = jax.random.split(pair[1], num_batches)
+
+            def step(c, xs):
+                p, o = c
+                batch, step_rng = xs
+                loss, grads = jax.value_and_grad(loss_fn)(p, batch, step_rng)
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (batches, step_rngs)
+            )
+            return (params, opt_state), jnp.sum(losses)
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch_body, (params, opt_state), rng_pairs
+        )
+        return params, opt_state, losses
+
+    if donate:
+        return jax.jit(run_chunk, donate_argnums=(0, 1))
+    return jax.jit(run_chunk)
+
+
 class BoldDriver:
     """Epoch-level LR schedule from the reference
     (base/iterativeRecommender.py:56-63)."""

@@ -210,3 +210,45 @@ def test_best_tracker_majority_vote():
     better = {"Precision": 0.2, "Recall": 0.2, "F1": 0.05, "NDCG": 0.2}
     assert bt.update(2, better)
     assert bt.best_epoch == 3
+
+
+def test_chunk_runner_matches_epoch_loop():
+    """make_chunk_runner (sampler folded into one jit, scan over epochs)
+    must be bit-identical to E calls of make_epoch_runner with the same
+    per-epoch (sampler_rng, step_rng) keys."""
+    import jax
+    import optax
+
+    from qrec_tpu.runtime.trainer import make_chunk_runner, make_epoch_runner
+
+    n, d, bs, nb, E = 40, 4, 8, 5, 3
+    w0 = jnp.asarray(np.random.RandomState(0).randn(n, d).astype(np.float32))
+
+    @jax.jit
+    def sampler(rng):
+        idx = jax.random.randint(rng, (nb, bs), 0, n)
+        tgt = jax.random.normal(jax.random.fold_in(rng, 1), (nb, bs, d))
+        return idx, tgt
+
+    def loss_fn(params, batch, rng):
+        idx, tgt = batch
+        noise = jax.random.normal(rng, tgt.shape) * 0.01
+        return jnp.sum((params["w"][idx] - tgt + noise) ** 2)
+
+    opt = optax.adam(1e-2)
+    params_a = {"w": w0}
+    state_a = opt.init(params_a)
+    run_epoch = make_epoch_runner(loss_fn, opt)
+    rng = jax.random.PRNGKey(7)
+    pairs, losses_a = [], []
+    for _ in range(E):
+        rng, rs, rt = jax.random.split(rng, 3)
+        pairs.append(jnp.stack([rs, rt]))
+        batches = sampler(rs)
+        params_a, state_a, loss = run_epoch(params_a, state_a, batches, rt)
+        losses_a.append(float(loss))
+
+    run_chunk = make_chunk_runner(loss_fn, opt, sampler)
+    params_b, _, losses_b = run_chunk({"w": w0}, opt.init({"w": w0}), jnp.stack(pairs))
+    np.testing.assert_array_equal(np.asarray(losses_b), np.asarray(losses_a, np.float32))
+    np.testing.assert_array_equal(np.asarray(params_b["w"]), np.asarray(params_a["w"]))
