@@ -281,6 +281,13 @@ def main():
     except Exception as e:
         print(f"[bench] SimGCL bench failed: {e}", file=sys.stderr)
 
+    # Measured TF1-reference baseline (round 4): the actual reference
+    # LightGCN graph (model/ranking/LightGCN.py) executed on this host's CPU
+    # under the tensorflow.compat.v1 shim (scripts/ref_oracle.py, TF 2.21),
+    # identical protocol (lastfm, d=50, 2 layers, batch 2000, 120 epochs,
+    # no per-epoch eval): 570.4 s wall => 4753 ms/epoch.
+    TF_REFERENCE_EPOCH_MS = 4753.0
+
     vs_baseline = float("nan")
     try:
         cpu = jax.devices("cpu")[0]
@@ -315,6 +322,12 @@ def main():
                 "extra": {
                     "epoch_ms": round(dt_dev * 1e3, 2),
                     "epoch_ms_per_dispatch_loop": round(dt_disp * 1e3, 2),
+                    # genuine reference baseline: its TF1 graph run on this
+                    # host's CPU via the tf1-compat shim (see constant above)
+                    "tf_reference_epoch_ms": TF_REFERENCE_EPOCH_MS,
+                    "vs_tf_reference": round(
+                        TF_REFERENCE_EPOCH_MS / (dt_dev * 1e3), 1
+                    ),
                     "eval_topk_items_per_sec": round(eval_items_per_sec, 0),
                     "eval_ms_all_test_users": round(eval_s * 1e3, 2),
                     "eval_pallas_fused_ms": round(eval_pallas_ms, 2)

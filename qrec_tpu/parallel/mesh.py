@@ -104,15 +104,24 @@ class Shardings(NamedTuple):
 
     def params(self, params: dict) -> dict:
         """Place an embedding-table param tree: 2-D tables row-sharded,
-        everything else replicated."""
+        everything else replicated. Tables whose row count is not divisible
+        by the model-axis size fall back to replication — NamedSharding
+        requires exact divisibility, and real id spaces (lastfm: 1889 train
+        users) are rarely multiples of the axis; correctness first, the
+        even-table fast path when shapes allow."""
+        model_n = self.embedding.mesh.shape[MODEL_AXIS]
+
+        def placement(k, v):
+            if (
+                getattr(v, "ndim", 0) == 2
+                and "emb" in k
+                and v.shape[0] % model_n == 0
+            ):
+                return self.embedding
+            return self.replicated
+
         return {
-            k: jax.device_put(
-                v,
-                self.embedding
-                if getattr(v, "ndim", 0) == 2 and "emb" in k
-                else self.replicated,
-            )
-            for k, v in params.items()
+            k: jax.device_put(v, placement(k, v)) for k, v in params.items()
         }
 
 
