@@ -229,37 +229,11 @@ def main():
             file=sys.stderr,
         )
 
-    # ---- Pallas fused-masked-scorer eval vs the XLA ranker path ---------
-    # (the TPU default eval backend since round 2 — evidence that the fused
-    # kernel's win is real, captured in the emitted JSON)
-    eval_pallas_ms = None
-    if backend == "tpu":
-        try:
-            from qrec_tpu.ops.topk import pallas_catalog_topk
-
-            U_f, V_f = sp["user_emb"], sp["item_emb"]
-            ids_p, _ = pallas_catalog_topk(
-                U_f, V_f, ranker.uids, model.rated_bitmask, data.global_mean, 10
-            )
-            jax.block_until_ready(ids_p)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                ids_p, _ = pallas_catalog_topk(
-                    U_f, V_f, ranker.uids, model.rated_bitmask,
-                    data.global_mean, 10,
-                )
-            jax.block_until_ready(ids_p)
-            eval_pallas_ms = (time.perf_counter() - t0) / reps * 1e3
-            if not args.json_only:
-                print(
-                    f"[bench] eval backends: pallas fused scorer "
-                    f"{eval_pallas_ms:.1f} ms vs XLA ranker "
-                    f"{eval_s * 1e3:.1f} ms "
-                    f"({eval_s * 1e3 / eval_pallas_ms:.2f}x)",
-                    file=sys.stderr,
-                )
-        except Exception as e:
-            print(f"[bench] pallas eval bench failed: {e}", file=sys.stderr)
+    # The fused masked-scorer's single-chip dispatch was retired in round 4
+    # (round-3 A/B: 64 ms vs the XLA ranker's 7.5 ms — the in-kernel
+    # bit-expansion masking loses to XLA's mask-fused dot epilogue at
+    # HBM-resident catalog scales). Only the mesh-sharded variant remains
+    # (ops/topk.pallas_catalog_topk mesh path, used by parallel eval).
 
     # ---- SSL-family epoch (SimGCL: 3 propagations + InfoNCE per step) ----
     simgcl_epoch_ms = simgcl_eps = None
@@ -330,9 +304,6 @@ def main():
                     ),
                     "eval_topk_items_per_sec": round(eval_items_per_sec, 0),
                     "eval_ms_all_test_users": round(eval_s * 1e3, 2),
-                    "eval_pallas_fused_ms": round(eval_pallas_ms, 2)
-                    if eval_pallas_ms is not None
-                    else None,
                     "simgcl_epoch_ms": round(simgcl_epoch_ms, 2)
                     if simgcl_epoch_ms is not None
                     else None,

@@ -55,14 +55,16 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
         mesh=getattr(model, "mesh", None),
     )
     # eval.backend=auto|xla|pallas: the fused masked-scorer kernel (rated-
-    # item masking from the packed bitmask in VMEM) is OPT-IN — an honest
-    # end-to-end timing (bench.py round 3: 64 ms vs the XLA ranker's 7.5 ms
-    # for all lastfm test users) shows the in-kernel bit-expansion masking
-    # costs more than the XLA path's materialized mask at catalog scales
-    # that fit HBM, so auto resolves to the XLA ranker. Metrics parity
-    # between the two is still asserted (scripts/tpu_verify.py). Under an
-    # active mesh the kernel runs with user blocks sharded over all devices
-    # (ops/topk.pallas_catalog_topk mesh path).
+    # item masking from the packed bitmask in VMEM) exists ONLY as a
+    # mesh-sharded path — user blocks shard over all devices
+    # (ops/topk.pallas_catalog_topk mesh path). The single-chip dispatch was
+    # retired in round 4: honest end-to-end timings (bench.py round 3: 64 ms
+    # vs the XLA ranker's 7.5 ms for all lastfm test users) showed the
+    # in-kernel bit-expansion masking costs more than the XLA path's
+    # mask-fused dot epilogue at catalog scales that fit HBM, so a
+    # single-chip `pallas` request falls through to the XLA ranker. Metrics
+    # parity between the paths is still asserted (scripts/tpu_verify.py,
+    # tests/test_topk.py).
     import jax
 
     from ..models.base import Recommender as _RecBase
@@ -71,6 +73,7 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
     backend_wants_pallas = eval_backend == "pallas"
     use_pallas = (
         backend_wants_pallas
+        and getattr(model, "mesh", None) is not None
         and getattr(model, "U", None) is not None
         and getattr(model, "V", None) is not None
         # only plain U·Vᵀ scorers — models with bias/distance scoring
@@ -88,7 +91,7 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
             model.rated_bitmask,
             data.global_mean,
             n,
-            mesh=getattr(model, "mesh", None),
+            mesh=model.mesh,
             interpret=jax.default_backend() != "tpu",
         )
     else:
