@@ -152,15 +152,31 @@ def main():
 
     backend = jax.default_backend()
     dt_disp, params_final = time_epochs(model, spec, args.epochs)
-    # headline: the trainer's default chunked dispatch (train.chunk auto —
+    # exact-bf16 adjacency path, chunked dispatch (train.chunk auto —
     # sampler folded into one jit scanning 8 epochs/dispatch; bit-identical
     # losses, runtime/trainer.make_chunk_runner)
-    dt_dev = time_epochs_chunked(model, spec, chunk=8, reps=3)
+    dt_bf16 = time_epochs_chunked(model, spec, chunk=8, reps=3)
+    # headline: int8-quantized adjacency (graph.dense.quant=int8) — halves
+    # the HBM-dominant adjacency stream via the symmetric custom VJP
+    # (ops/spmm._int8_joint_matmul). Quality-parity verified on the full
+    # 120-epoch protocol: Recall@10 0.1622 vs the bf16 path's 0.1626
+    # (PARITY.md round 4) — within run variance.
+    try:
+        conf_q = type(conf)(dict(conf.config))
+        conf_q.config["graph.dense.quant"] = "int8"
+        model_q = model_cls(conf_q, data)
+        spec_q = model_q.build()
+        dt_dev = time_epochs_chunked(model_q, spec_q, chunk=8, reps=3)
+        quant_headline = True
+    except Exception as e:
+        print(f"[bench] int8 path failed ({e}); bf16 headline", file=sys.stderr)
+        dt_dev, quant_headline = dt_bf16, False
     eps_dev = n_train / dt_dev
     if not args.json_only:
         print(
             f"[bench] LightGCN lastfm epoch on {backend}: {dt_dev * 1e3:.1f} ms "
-            f"({eps_dev:,.0f} examples/s; per-dispatch loop {dt_disp * 1e3:.1f} ms)",
+            f"({eps_dev:,.0f} examples/s; exact-bf16 {dt_bf16 * 1e3:.1f} ms; "
+            f"per-dispatch loop {dt_disp * 1e3:.1f} ms)",
             file=sys.stderr,
         )
 
@@ -173,21 +189,30 @@ def main():
     # as null.
     from qrec_tpu.ops.spmm import DenseJoint
 
+    model_r = model_q if quant_headline else model
     u_n, i_n, d_f = data.num_users, data.num_items, model.emb_size
     steps = (n_train + model.batch_size - 1) // model.batch_size
     n_layers = getattr(model, "n_layers", 2)
     V5E_BF16_PEAK_TFLOPS = 197.0  # one v5e chip
     V5E_HBM_GBPS = 819.0
-    roofline_valid = backend == "tpu" and isinstance(model.joint_adj, DenseJoint)
+    roofline_valid = backend == "tpu" and isinstance(
+        model_r.joint_adj, DenseJoint
+    )
     tflops = adj_gbps = None
     if roofline_valid:
         flops_epoch = steps * 2 * n_layers * 2 * (2 * u_n * i_n * d_f)
         tflops = flops_epoch / dt_dev / 1e12
-        # adjacency bytes per epoch: one (U, I) bf16 stream per single-pass
-        # dual-product application (fwd and bwd each run n_layer
-        # applications); the two-matmul XLA path reads it twice each
-        n_pass = 1 if model.joint_adj.r_hat_p is not None else 2
-        adj_bytes_epoch = steps * 2 * n_layers * n_pass * (2 * u_n * i_n)
+        # adjacency bytes per application: both (U, I) orientations stream
+        # once each on the two-matmul/int8 paths (1 B/elem quantized,
+        # 2 B/elem bf16); the single-pass dual kernel reads one bf16 copy
+        adj = model_r.joint_adj
+        if adj.q8 is not None:
+            app_bytes = 2 * u_n * i_n * 1
+        elif adj.r_hat_p is not None:
+            app_bytes = u_n * i_n * 2
+        else:
+            app_bytes = 2 * u_n * i_n * 2
+        adj_bytes_epoch = steps * 2 * n_layers * app_bytes
         adj_gbps = adj_bytes_epoch / dt_dev / 1e9
         if not args.json_only:
             print(
@@ -294,7 +319,13 @@ def main():
                 # which is not installable here (BASELINE.md)
                 "vs_baseline": None if vs_baseline != vs_baseline else round(vs_baseline, 2),
                 "extra": {
+                    # headline path: int8-quantized adjacency
+                    # (graph.dense.quant=int8), quality-parity verified at
+                    # the full 120-epoch protocol (PARITY.md round 4)
                     "epoch_ms": round(dt_dev * 1e3, 2),
+                    "adjacency_quant": "int8" if quant_headline else "bf16",
+                    # exact bf16 edge weights (the parity-default path)
+                    "epoch_ms_bf16_exact": round(dt_bf16 * 1e3, 2),
                     "epoch_ms_per_dispatch_loop": round(dt_disp * 1e3, 2),
                     # genuine reference baseline: its TF1 graph run on this
                     # host's CPU via the tf1-compat shim (see constant above)

@@ -869,10 +869,32 @@ class GraphRecommender(IterativeRecommender):
                         "graph.dense.dual=on exceeds the kernel's VMEM "
                         "budget for this shape; using the two-matmul path"
                     )
+                # int8-quantized adjacency (opt-in): halves the HBM-dominant
+                # adjacency stream via the symmetric custom VJP
+                # (ops/spmm._int8_joint_matmul). Off by default — the
+                # per-row-scaled quantization perturbs edge weights by up to
+                # ~1e-3 absolute, a bigger precision class than bf16, so the
+                # reference-parity paths keep exact bf16 weights.
+                quant_conf = self.config.get("graph.dense.quant", "off")
+                if quant_conf not in ("off", "int8"):
+                    from ..errors import ConfigError
+
+                    raise ConfigError(
+                        "graph.dense.quant must be off|int8, got "
+                        f"{quant_conf!r}"
+                    )
+                use_quant = quant_conf == "int8"
+                if use_quant and use_dual:
+                    print(
+                        "graph.dense.quant=int8 supersedes the dual kernel;"
+                        " using the quantized two-matmul path"
+                    )
+                    use_dual = False
                 self._joint_adj = DenseJoint.from_interactions(
                     self.data,
                     dual=use_dual,
                     dual_interpret=not on_tpu,
+                    quant=use_quant,
                 )
             elif backend == "pallas" or (backend == "auto" and on_tpu):
                 # Past the dense budget, the one-hot MXU scatter kernel beats

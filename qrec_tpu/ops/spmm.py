@@ -54,8 +54,8 @@ class DenseJoint(NamedTuple):
     masked values (SGL/BUIR/SEPT views) stay on the COO path.
     """
 
-    r_hat: jnp.ndarray  # (U, I), bf16
-    r_hat_t: jnp.ndarray  # (I, U), bf16
+    r_hat: Optional[jnp.ndarray]  # (U, I), bf16 (None when int8-quantized)
+    r_hat_t: Optional[jnp.ndarray]  # (I, U), bf16
     num_users: int
     # padded copy for the single-pass dual-product Pallas kernel (TPU only;
     # None = use the two-matmul XLA path). Adjacency reads dominate the HBM
@@ -63,13 +63,27 @@ class DenseJoint(NamedTuple):
     # them — see pallas_kernels.bipartite_dual_matmul.
     r_hat_p: Optional[jnp.ndarray] = None
     dual_interpret: bool = False
+    # int8-quantized adjacency (graph.dense.quant=int8): per-user-row uint
+    # scale, values q8 = round(r / scale) ∈ [0, 127]. Halves the
+    # HBM-dominant adjacency stream of every propagation in BOTH directions
+    # via the symmetric custom VJP (_int8_joint_matmul).
+    q8: Optional[jnp.ndarray] = None  # (U, I) int8
+    q8_t: Optional[jnp.ndarray] = None  # (I, U) int8
+    row_scale: Optional[jnp.ndarray] = None  # (U,) f32
 
     @property
     def num_rows(self) -> int:
-        return self.r_hat.shape[0] + self.r_hat.shape[1]
+        m = self.r_hat if self.r_hat is not None else self.q8
+        return m.shape[0] + m.shape[1]
 
     @classmethod
-    def from_interactions(cls, data, dual: bool = False, dual_interpret: bool = False) -> "DenseJoint":
+    def from_interactions(
+        cls,
+        data,
+        dual: bool = False,
+        dual_interpret: bool = False,
+        quant: bool = False,
+    ) -> "DenseJoint":
         """Build D^-1/2 R D^-1/2 densely (binary interactions, matching
         base/graphRecommender.py:10-29)."""
         import numpy as np
@@ -81,6 +95,24 @@ class DenseJoint(NamedTuple):
         vals = 1.0 / np.sqrt(deg_u[u]) / np.sqrt(deg_i[i])
         r = np.zeros((data.num_users, data.num_items), dtype=np.float32)
         r[u, i] = vals
+        if quant:
+            # per-user-row scale: the row max maps to 127, so the largest
+            # entries carry bf16-class (~0.4%) error and the smallest entry
+            # of a row (ratio to the max bounded by sqrt(max item degree /
+            # min item degree)) stays well above the quantization step
+            smax = r.max(axis=1)
+            scale = np.where(smax > 0, smax / 127.0, 1.0).astype(np.float32)
+            q = np.rint(r / scale[:, None]).astype(np.int8)
+            return cls(
+                None,
+                None,
+                data.num_users,
+                None,
+                dual_interpret,
+                jnp.asarray(q),
+                jnp.asarray(np.ascontiguousarray(q.T)),
+                jnp.asarray(scale),
+            )
         r_d = jnp.asarray(r, dtype=jnp.bfloat16)
         r_p = None
         if dual:
@@ -184,6 +216,59 @@ def _dual_bwd(num_users, num_items, interpret, a_p, g):
 _dual_joint_matmul.defvjp(_dual_fwd, _dual_bwd)
 
 
+@jax.custom_vjp
+def _int8_joint_matmul(q8, q8_t, s, x):
+    """Joint propagation with int8-quantized adjacency
+    (``graph.dense.quant=int8``).
+
+    The joint matrix M = [[0, Ŝ], [Ŝᵀ, 0]] with Ŝ = diag(s)·Q is symmetric
+    as an operator, so the VJP of ``y = M @ x`` is ``dx = M @ dy`` — the
+    backward is the SAME dequantized dots with the SAME operand layouts.
+    This matters: XLA's autodiff backward would read the int8→bf16 convert
+    through a transpose, which does not fuse into the dot and re-materializes
+    a bf16 copy (scripts/int8_bench.py: fwd 1.35×, autodiff fwd+bwd 1.03×).
+    With the symmetric VJP the int8 tables stream at half the bf16 bytes in
+    both passes.
+    """
+    return _int8_call(q8, q8_t, s, x)
+
+
+def _int8_call(q8, q8_t, s, x):
+    nu = q8.shape[0]
+    xi = x[nu:].astype(jnp.bfloat16)
+    # out_u = s ⊙ (Q @ x_i)  — scale applied on the f32 accumulator;
+    # out_i = Qᵀ @ (s ⊙ x_u) — scale applied in f32 before the bf16 cast
+    ou = jnp.dot(
+        q8.astype(jnp.bfloat16), xi, preferred_element_type=jnp.float32
+    ) * s[:, None]
+    oi = jnp.dot(
+        q8_t.astype(jnp.bfloat16),
+        (x[:nu] * s[:, None]).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.concatenate([ou, oi])
+
+
+def _int8_fwd(q8, q8_t, s, x):
+    return _int8_call(q8, q8_t, s, x), (q8, q8_t, s)
+
+
+def _int8_bwd(res, g):
+    q8, q8_t, s = res
+    # integer primals take float0 cotangents; the scale is a constant whose
+    # zero cotangent is dead-code-eliminated under jit
+    f0 = jax.dtypes.float0
+    return (
+        np.zeros(q8.shape, dtype=f0),
+        np.zeros(q8_t.shape, dtype=f0),
+        jnp.zeros_like(s),
+        _int8_call(q8, q8_t, s, g),
+    )
+
+
+_int8_joint_matmul.defvjp(_int8_fwd, _int8_bwd)
+
+
 def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """``A @ x`` for a row-sorted COO or DenseJoint ``A`` and dense ``x``.
 
@@ -199,6 +284,8 @@ def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray
         )
     if isinstance(adj, DenseJoint):
         assert vals is None, "per-edge values need the COO path"
+        if adj.q8 is not None:
+            return _int8_joint_matmul(adj.q8, adj.q8_t, adj.row_scale, x)
         if adj.r_hat_p is not None:
             nu = adj.num_users
             return _dual_joint_matmul(

@@ -79,6 +79,48 @@ def test_dense_joint_matches_coo(tiny_data):
     assert np.allclose(p_coo, p_dense, rtol=3e-2, atol=3e-2)
 
 
+def test_int8_dense_joint_matches_coo(tiny_data):
+    """graph.dense.quant=int8: forward within quantization tolerance of the
+    exact COO result, and the symmetric custom VJP's gradient IS the same
+    operator applied to the cotangent."""
+    from qrec_tpu.ops.spmm import DenseJoint
+
+    coo = joint_normalized_adjacency(tiny_data)
+    dev = DeviceCOO.from_host(coo)
+    q = DenseJoint.from_interactions(tiny_data, quant=True)
+    assert q.r_hat is None and q.q8 is not None
+    n = tiny_data.num_users + tiny_data.num_items
+    assert q.num_rows == n
+    e = np.random.RandomState(2).randn(n, 8).astype(np.float32)
+    out_coo = np.asarray(spmm(dev, jnp.asarray(e)))
+    out_q = np.asarray(spmm(q, jnp.asarray(e)))
+    # int8 per-row-scaled adjacency: ~2% tolerance class
+    assert np.allclose(out_coo, out_q, rtol=4e-2, atol=4e-2)
+
+    # gradient: d/dx sum(w * (M @ x)) = M @ w for the symmetric joint op
+    w = np.random.RandomState(3).randn(n, 8).astype(np.float32)
+    g = jax.grad(lambda x: jnp.sum(jnp.asarray(w) * spmm(q, x)))(
+        jnp.asarray(e)
+    )
+    expect = np.asarray(spmm(q, jnp.asarray(w)))
+    assert np.allclose(np.asarray(g), expect, rtol=1e-3, atol=1e-3)
+
+
+def test_int8_quant_error_bounded(tiny_data):
+    """Dequantized int8 weights sit within half a quantization step of the
+    exact normalized adjacency, rowwise."""
+    from qrec_tpu.ops.spmm import DenseJoint
+
+    q = DenseJoint.from_interactions(tiny_data, quant=True)
+    coo = joint_normalized_adjacency(tiny_data)
+    exact = coo.to_scipy().toarray()[
+        : tiny_data.num_users, tiny_data.num_users :
+    ]
+    deq = np.asarray(q.q8, dtype=np.float32) * np.asarray(q.row_scale)[:, None]
+    step = np.asarray(q.row_scale)
+    assert np.all(np.abs(deq - exact) <= 0.5001 * step[:, None])
+
+
 def test_drop_edges_masks_values(tiny_data):
     coo = joint_normalized_adjacency(tiny_data)
     dev = DeviceCOO.from_host(coo)
