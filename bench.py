@@ -62,6 +62,53 @@ def build_problem(conf_overrides=None):
     return conf, data
 
 
+def build_yelp_scale(conf_overrides=None, d=64, batch_size=2048):
+    """yelp2018-shaped synthetic dataset (reference README.md:477-486:
+    19,539 users × 21,266 items, 450,884 interactions — the real blobs are
+    stripped from this mount, .MISSING_LARGE_BLOBS) with zipf-shaped item
+    popularity, split -ap 0.2 like the bundled protocol."""
+    import random as _random
+
+    from qrec_tpu import ModelConf
+    from qrec_tpu.data.dataset import Interactions
+    from qrec_tpu.data.split import data_split
+
+    U_N, I_N, NNZ = 19539, 21266, 450884
+    rng = np.random.default_rng(42)
+    u = rng.integers(0, U_N, size=int(NNZ * 1.6))
+    ranks = np.arange(1, I_N + 1, dtype=np.float64)
+    p = ranks**-0.9
+    p /= p.sum()
+    i = rng.choice(I_N, size=len(u), p=p)
+    key = np.unique(u.astype(np.int64) * I_N + i)
+    rng.shuffle(key)
+    key = key[:NNZ]
+    u = (key // I_N).astype(np.int32)
+    i = (key % I_N).astype(np.int32)
+    records = [[str(a), str(b), 1.0] for a, b in zip(u, i)]
+    conf = ModelConf(
+        {
+            "ratings": "<synthetic-yelp2018>",
+            "ratings.setup": "-columns 0 1 2",
+            "model.name": "LightGCN",
+            "evaluation.setup": "-ap 0.2 -b 1",
+            "item.ranking": "on -topN 20",
+            "num.factors": str(d),
+            "num.max.epoch": "3",
+            "batch_size": str(batch_size),
+            "learnRate": "-init 0.001 -max 1",
+            "reg.lambda": "-u 0.0001 -i 0.0001 -b 0.2 -s 0.2",
+            "LightGCN": "-n_layer 2",
+            "output.setup": "off -dir ./results/",
+            "seed": "2026",
+        }
+    )
+    if conf_overrides:
+        conf.config.update(conf_overrides)
+    train, test = data_split(records, 0.2, binarized=True, rng=_random.Random(0))
+    return conf, Interactions(conf, train, test)
+
+
 def time_epochs(model, spec, n_epochs, device=None):
     """Time steady-state epochs of the shared training loop on a device."""
     import jax
@@ -138,6 +185,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--cpu-epochs", type=int, default=2)
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--skip-yelp", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -280,6 +328,71 @@ def main():
     except Exception as e:
         print(f"[bench] SimGCL bench failed: {e}", file=sys.stderr)
 
+    # ---- yelp2018-scale end-to-end (north-star shapes, TPU only) --------
+    # Full session pieces — train epoch (chunked runner) + full-catalog
+    # eval — at the reference's production benchmark statistics
+    # (config/SGL.conf protocol: d=64, batch 2048). auto resolves to the
+    # Pallas edge kernel here (dense is past the tunnel's embed budget —
+    # see ops/spmm.AXON_EMBED_LIMIT); the XLA COO path is timed as the
+    # dense-budget-excluded contrast.
+    yelp = None
+    if backend == "tpu" and not args.skip_yelp:
+        try:
+            yelp = {}
+            conf_y, data_y = build_yelp_scale()
+            n_train_y = len(data_y.training_data)
+            model_y = model_cls(conf_y, data_y)
+            spec_y = model_y.build()
+            yelp["backend_auto"] = type(model_y.joint_adj).__name__
+            dt_y = time_epochs_chunked(model_y, spec_y, chunk=4, reps=2)
+            yelp.update(
+                users=data_y.num_users,
+                items=data_y.num_items,
+                train_interactions=n_train_y,
+                lightgcn_epoch_ms=round(dt_y * 1e3, 1),
+                lightgcn_examples_per_sec=round(n_train_y / dt_y, 0),
+            )
+            from qrec_tpu.ops.topk import CatalogRanker
+
+            ranker_y = CatalogRanker(data_y, k=20, batch_size=1024)
+            sp_y = (
+                spec_y.score_params_fn(spec_y.params)
+                if spec_y.score_params_fn is not None
+                else spec_y.params
+            )
+            ids_y, _ = ranker_y.topk_device(embedding_score_fn, sp_y)
+            jax.block_until_ready(ids_y)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                ids_y, _ = ranker_y.topk_device(embedding_score_fn, sp_y)
+            jax.block_until_ready(ids_y)
+            ev_y = (time.perf_counter() - t0) / 3
+            yelp["eval_ms_all_test_users"] = round(ev_y * 1e3, 1)
+            yelp["eval_test_users"] = len(ranker_y.names)
+            # dense-budget-excluded contrast: plain XLA COO segment-sum
+            # (the dataset is reused across confs — models read their own
+            # conf; data only carries arrays + id maps)
+            conf_c = type(conf_y)(dict(conf_y.config))
+            conf_c.config["graph.backend"] = "coo"
+            model_c = model_cls(conf_c, data_y)
+            dt_c = time_epochs_chunked(model_c, model_c.build(), chunk=1, reps=1)
+            yelp["lightgcn_epoch_ms_coo"] = round(dt_c * 1e3, 1)
+            # SGL: 3-layer, 3-view SSL protocol at yelp scale (SGL.conf)
+            conf_s = type(conf_y)(dict(conf_y.config))
+            conf_s.config["model.name"] = "SGL"
+            conf_s.config["SGL"] = (
+                "-n_layer 3 -lambda 0.1 -droprate 0.1 -augtype 1 -temp 0.2"
+            )
+            model_s = get_model("SGL")(conf_s, data_y)
+            spec_s = model_s.build()
+            dt_s, _ = time_epochs(model_s, spec_s, 2)
+            yelp["sgl_epoch_ms"] = round(dt_s * 1e3, 1)
+            yelp["sgl_examples_per_sec"] = round(n_train_y / dt_s, 0)
+            if not args.json_only:
+                print(f"[bench] yelp-scale: {yelp}", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] yelp-scale bench failed: {e}", file=sys.stderr)
+
     # Measured TF1-reference baseline (round 4): the actual reference
     # LightGCN graph (model/ranking/LightGCN.py) executed on this host's CPU
     # under the tensorflow.compat.v1 shim (scripts/ref_oracle.py, TF 2.21),
@@ -341,6 +454,9 @@ def main():
                     "simgcl_examples_per_sec": round(simgcl_eps, 0)
                     if simgcl_eps is not None
                     else None,
+                    # north-star-scale end-to-end (yelp2018 statistics,
+                    # synthetic — real blobs stripped from this mount)
+                    "yelp_scale": yelp,
                     "backend": backend,
                     # roofline fields are DenseJoint-on-v5e specific; null
                     # on other backends/graph paths where the formulas and

@@ -795,6 +795,7 @@ class GraphRecommender(IterativeRecommender):
 
             from ..data.graph import joint_normalized_adjacency
             from ..ops.spmm import (
+                AXON_EMBED_LIMIT,
                 DENSE_JOINT_LIMIT,
                 DenseJoint,
                 DeviceCOO,
@@ -824,6 +825,24 @@ class GraphRecommender(IterativeRecommender):
                     f"{self.config.get('graph.dense.limit')!r}"
                 ) from None
             dense_ok = self.num_users * self.num_items <= dense_limit
+            # The axon remote-compile tunnel rejects serialized computations
+            # past ~a few hundred MB (HTTP 413), and closure-captured dense
+            # adjacencies embed in the HLO as constants — measured: a
+            # yelp-scale 409M-entry table 413s even at int8, while lastfm's
+            # 33M passes. Under the tunnel, auto therefore caps the dense
+            # path at a conservative embed budget (the pallas edge kernel
+            # takes over past it); an explicit graph.dense.limit or
+            # graph.backend=dense still forces the attempt.
+            import os as _os
+
+            if (
+                backend == "auto"
+                and not self.config.contains("graph.dense.limit")
+                and _os.environ.get("JAX_PLATFORMS", "") == "axon"
+            ):
+                dense_ok = dense_ok and (
+                    self.num_users * self.num_items <= AXON_EMBED_LIMIT
+                )
             on_tpu = jax.default_backend() == "tpu"
             if backend == "dense" or (backend == "auto" and dense_ok):
                 # Single-pass dual-product kernel: halves the adjacency HBM

@@ -128,6 +128,12 @@ class DenseJoint(NamedTuple):
 # entry budget for the dense-bipartite path (~1.2 GB at bf16)
 DENSE_JOINT_LIMIT = 600_000_000
 
+# entry budget for dense adjacencies under the axon remote-compile tunnel:
+# closure-captured dense tables embed in the serialized HLO as constants and
+# the tunnel 413s past ~a few hundred MB (measured: yelp-scale 409M entries
+# fails even at int8; lastfm's 33M passes)
+AXON_EMBED_LIMIT = 150_000_000
+
 
 class DenseMat(NamedTuple):
     """Generic small-matrix dense backend: one bf16 MXU matmul with f32

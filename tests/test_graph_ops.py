@@ -304,6 +304,34 @@ def test_joint_adj_backend_auto_prefers_pallas_on_tpu(tiny_conf, tiny_data, monk
     assert isinstance(m.joint_adj, ShardedPaddedCOO)
 
 
+def test_joint_adj_auto_respects_axon_embed_budget(
+    tiny_conf, tiny_data, monkeypatch
+):
+    """Under the axon remote-compile tunnel, auto must not pick a dense
+    adjacency whose embedded constant would 413 the compile request
+    (models/base.py AXON_EMBED_LIMIT guard); explicit graph.dense.limit
+    re-enables it."""
+    import jax
+
+    import qrec_tpu.ops.spmm as spmm_mod
+    from qrec_tpu.models.graph import LightGCN
+    from qrec_tpu.ops.spmm import DenseJoint, PaddedCOO
+
+    tiny_conf.config["LightGCN"] = "-n_layer 2"
+    tiny_conf.config["parallel.setup"] = "off"
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setattr(spmm_mod, "AXON_EMBED_LIMIT", 0)
+    m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, PaddedCOO)  # guard excluded dense
+
+    # explicit graph.dense.limit overrides the tunnel guard
+    tiny_conf.config["graph.dense.limit"] = str(10**9)
+    m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, DenseJoint)
+
+
 def test_view_adjacency_pallas_matches_coo_on_subgraph_vals(tiny_data):
     """The SGL/BUIR view path: per-view values computed in the
     joint_bipartite_coo lexsorted order must permute correctly into the
