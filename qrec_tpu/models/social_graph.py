@@ -127,6 +127,86 @@ def _l2n(x):
     return x * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
 
 
+def mhcn_channel_mim(rng, em, edge):
+    """Hierarchical mutual-information maximization for one MHCN channel
+    (MHCN.py hierarchical_self_supervision): pairwise-ranking MIM between
+    the gated user embeddings ``em`` and their hypergraph-propagated
+    counterpart ``edge = H_c @ em``, locally (row vs shuffled rows) and
+    globally (vs the channel's mean readout). Module-level pure function of
+    the two embedding matrices so the formula is golden-value testable
+    (tests/test_social_graph_models.py)."""
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+    def row_shuffle(key, x):
+        return x[jax.random.permutation(key, x.shape[0])]
+
+    def row_col_shuffle(key, x):
+        ka, kb = jax.random.split(key)
+        x = x[:, jax.random.permutation(ka, x.shape[1])]
+        return x[jax.random.permutation(kb, x.shape[0])]
+
+    def score(a, b):
+        return jnp.sum(a * b, axis=1)
+
+    pos = score(em, edge)
+    neg1 = score(row_shuffle(r1, em), edge)
+    neg2 = score(row_col_shuffle(r2, edge), em)
+    local = jnp.sum(
+        -jnp.log(jax.nn.sigmoid(pos - neg1) + 1e-12)
+        - jnp.log(jax.nn.sigmoid(neg1 - neg2) + 1e-12)
+    )
+    graph = jnp.mean(edge, axis=0)
+    pos_g = edge @ graph
+    neg_g = row_col_shuffle(r3, edge) @ graph
+    global_ = jnp.sum(-jnp.log(jax.nn.sigmoid(pos_g - neg_g) + 1e-12))
+    return local + global_
+
+
+def sept_neighbor_ssl(aug_n, friend_n, share_n, rec_n, um, ins_cnt):
+    """SEPT's pseudo-label neighbor discrimination (SEPT.py:220-268):
+    each view's softmax over similarities to the augmented encoding yields
+    label probabilities; the other two views vote a top-``ins_cnt``
+    positive set; an InfoNCE at temperature 0.1 pulls each view's users
+    toward their voted neighbors. All inputs are row-L2-normalized
+    embeddings restricted to the batch's unique users; ``um`` masks the
+    static-shape pad slots out of softmax, top-k, and the InfoNCE
+    denominator (pads are copies of user 0 and would hijack the positives).
+    Module-level for golden-value testing."""
+    col_bias = jnp.where(um > 0, 0.0, -1e30)[None, :]
+
+    def label_prob(emb):
+        return jax.nn.softmax(emb @ aug_n.T + col_bias, axis=1)
+
+    p_social = label_prob(friend_n)
+    p_share = label_prob(share_n)
+    p_rec = label_prob(rec_n)
+
+    def neighbor_dis(positive, emb):
+        pos_emb = aug_n[positive]  # (B, k, d)
+        pos_scores = jnp.sum(emb[:, None, :] * pos_emb, axis=2)
+        ttl = emb @ aug_n.T + col_bias
+        pos_sum = jnp.sum(jnp.exp(pos_scores / 0.1), axis=1)
+        ttl_sum = jnp.sum(jnp.exp(ttl / 0.1), axis=1)
+        return -jnp.sum(um * jnp.log(pos_sum / ttl_sum + 1e-12))
+
+    top = lambda p1, p2: jax.lax.top_k((p1 + p2) / 2, ins_cnt)[1]
+    return (
+        neighbor_dis(top(p_share, p_rec), friend_n)
+        + neighbor_dis(top(p_social, p_rec), share_n)
+        + neighbor_dis(top(p_social, p_share), rec_n)
+    )
+
+
+def buir_pair_loss(q_u, q_i, t_u, t_i, w):
+    """BUIR's symmetric cross-prediction loss (BUIR.py:128-143): the online
+    predictor of each side regresses onto the momentum target of the other,
+    as cosine distance on L2-normalized rows, halved and weighted by the
+    duplicate-pair weights ``w``. Module-level for golden-value testing."""
+    loss = 1 - jnp.sum(_l2n(q_u) * _l2n(t_i), axis=1)
+    loss = loss + 1 - jnp.sum(_l2n(q_i) * _l2n(t_u), axis=1)
+    return jnp.sum(w * loss / 2)
+
+
 class MHCN(SocialRecommender, GraphRecommender):
     """Multi-channel hypergraph convolution with self-gating, channel
     attention, and hierarchical mutual-information SSL (MHCN.py)."""
@@ -276,32 +356,7 @@ class MHCN(SocialRecommender, GraphRecommender):
             return final_u, acc_i
 
         def ss_loss_channel(rng, em, adj):
-            edge = spmm(adj, em)
-            r1, r2, r3, r4 = jax.random.split(rng, 4)
-
-            def row_shuffle(key, x):
-                return x[jax.random.permutation(key, x.shape[0])]
-
-            def row_col_shuffle(key, x):
-                ka, kb = jax.random.split(key)
-                x = x[:, jax.random.permutation(ka, x.shape[1])]
-                return x[jax.random.permutation(kb, x.shape[0])]
-
-            def score(a, b):
-                return jnp.sum(a * b, axis=1)
-
-            pos = score(em, edge)
-            neg1 = score(row_shuffle(r1, em), edge)
-            neg2 = score(row_col_shuffle(r2, edge), em)
-            local = jnp.sum(
-                -jnp.log(jax.nn.sigmoid(pos - neg1) + 1e-12)
-                - jnp.log(jax.nn.sigmoid(neg1 - neg2) + 1e-12)
-            )
-            graph = jnp.mean(edge, axis=0)
-            pos_g = edge @ graph
-            neg_g = row_col_shuffle(r3, edge) @ graph
-            global_ = jnp.sum(-jnp.log(jax.nn.sigmoid(pos_g - neg_g) + 1e-12))
-            return local + global_
+            return mhcn_channel_mim(rng, em, spmm(adj, em))
 
         weight_keys = (
             [f"gating{c}" for c in range(4)]
@@ -470,36 +525,18 @@ class SEPT(SocialRecommender, GraphRecommender):
             )
             aug_u = encode_aug(params, jax.random.fold_in(rng, 7))
             uu, um = L.unique_padded(u)
-            aug_n = _l2n(aug_u[uu])
             # the reference's batch-local matrices have exactly the unique
             # users (dynamic shape, SEPT.py:220-255); our static-shape pad
             # slots are copies of user 0, so pad COLUMNS must be excluded
             # from label softmax, pseudo-label top-k, and the InfoNCE
-            # denominator or they hijack the positives
-            col_bias = jnp.where(um > 0, 0.0, -1e30)[None, :]
-
-            def label_prob(view):
-                emb = _l2n(view[uu])
-                return jax.nn.softmax(emb @ aug_n.T + col_bias, axis=1)
-
-            p_social = label_prob(friend)
-            p_share = label_prob(share)
-            p_rec = label_prob(users)
-
-            def neighbor_dis(positive, view):
-                emb = _l2n(view[uu])
-                pos_emb = aug_n[positive]  # (B, k, d)
-                pos_scores = jnp.sum(emb[:, None, :] * pos_emb, axis=2)
-                ttl = emb @ aug_n.T + col_bias
-                pos_sum = jnp.sum(jnp.exp(pos_scores / 0.1), axis=1)
-                ttl_sum = jnp.sum(jnp.exp(ttl / 0.1), axis=1)
-                return -jnp.sum(um * jnp.log(pos_sum / ttl_sum + 1e-12))
-
-            top = lambda p1, p2: jax.lax.top_k((p1 + p2) / 2, ins_cnt)[1]
-            ssl = (
-                neighbor_dis(top(p_share, p_rec), friend)
-                + neighbor_dis(top(p_social, p_rec), share)
-                + neighbor_dis(top(p_social, p_share), users)
+            # denominator or they hijack the positives (sept_neighbor_ssl)
+            ssl = sept_neighbor_ssl(
+                _l2n(aug_u[uu]),
+                _l2n(friend[uu]),
+                _l2n(share[uu]),
+                _l2n(users[uu]),
+                um,
+                ins_cnt,
             )
             return rec + ss_rate * ssl
 
@@ -589,11 +626,9 @@ class BUIR(GraphRecommender):
             )
             tgt = jax.lax.stop_gradient(tgt)
             q = linear(params, online)
-            qu, qi = q[:nu][u], q[nu:][i]
-            tu, ti = tgt[:nu][u], tgt[nu:][i]
-            loss = 1 - jnp.sum(_l2n(qu) * _l2n(ti), axis=1)
-            loss = loss + 1 - jnp.sum(_l2n(qi) * _l2n(tu), axis=1)
-            return jnp.sum(w * loss / 2)
+            return buir_pair_loss(
+                q[:nu][u], q[nu:][i], tgt[:nu][u], tgt[nu:][i], w
+            )
 
         optimizer = optax.adam(self.lrate)
         opt_state = optimizer.init(params)

@@ -119,3 +119,121 @@ def test_masked_infonce_zero_row_grad_finite():
     mask = jnp.array([1.0, 1.0, 1.0])
     g = jax.grad(lambda a: L.masked_infonce(a, v2, mask, 0.2))(v1)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_mhcn_channel_mim_golden():
+    """MHCN's hierarchical MIM channel loss vs a hand-NumPy reference
+    (MHCN.py hierarchical_self_supervision) — a sign slip on the
+    pairwise-ranking terms or a wrong readout would shave quality silently."""
+    import jax
+    import jax.numpy as jnp
+
+    from qrec_tpu.models.social_graph import mhcn_channel_mim
+
+    rng = np.random.RandomState(11)
+    em = rng.randn(7, 5).astype(np.float32)
+    edge = rng.randn(7, 5).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    got = float(mhcn_channel_mim(key, jnp.asarray(em), jnp.asarray(edge)))
+
+    # NumPy reference, using the same jax-derived permutations
+    r1, r2, r3, r4 = jax.random.split(key, 4)
+
+    def perm(k, n):
+        return np.asarray(jax.random.permutation(k, n))
+
+    def sigm(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    pos = np.sum(em * edge, axis=1)
+    neg1 = np.sum(em[perm(r1, 7)] * edge, axis=1)
+    r2a, r2b = jax.random.split(r2)
+    shuf = edge[:, perm(r2a, 5)][perm(r2b, 7)]
+    neg2 = np.sum(shuf * em, axis=1)
+    local = np.sum(
+        -np.log(sigm(pos - neg1) + 1e-12) - np.log(sigm(neg1 - neg2) + 1e-12)
+    )
+    graph = edge.mean(axis=0)
+    r3a, r3b = jax.random.split(r3)
+    shuf_g = edge[:, perm(r3a, 5)][perm(r3b, 7)]
+    global_ = np.sum(-np.log(sigm(edge @ graph - shuf_g @ graph) + 1e-12))
+    assert got == pytest.approx(float(local + global_), rel=1e-5)
+
+
+def test_sept_neighbor_ssl_golden():
+    """SEPT's pseudo-label neighbor discrimination vs a hand-NumPy
+    reference (SEPT.py:220-268), including the pad-column masking."""
+    import jax.numpy as jnp
+
+    from qrec_tpu.models.social_graph import sept_neighbor_ssl
+
+    rng = np.random.RandomState(5)
+    B, d, k = 6, 4, 2
+
+    def l2n(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-6)
+
+    aug = l2n(rng.randn(B, d)).astype(np.float32)
+    fr = l2n(rng.randn(B, d)).astype(np.float32)
+    sh = l2n(rng.randn(B, d)).astype(np.float32)
+    rc = l2n(rng.randn(B, d)).astype(np.float32)
+    um = np.array([1, 1, 1, 1, 0, 0], dtype=np.float32)  # 2 pad slots
+
+    got = float(
+        sept_neighbor_ssl(
+            jnp.asarray(aug), jnp.asarray(fr), jnp.asarray(sh),
+            jnp.asarray(rc), jnp.asarray(um), k,
+        )
+    )
+
+    bias = np.where(um > 0, 0.0, -1e30)[None, :]
+
+    def softmax(x):
+        e = np.exp(x - x.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    p_soc = softmax(fr @ aug.T + bias)
+    p_sha = softmax(sh @ aug.T + bias)
+    p_rec = softmax(rc @ aug.T + bias)
+
+    def topk(p, k):
+        return np.argsort(-p, axis=1, kind="stable")[:, :k]
+
+    def ndis(pos_idx, emb):
+        pos_scores = np.stack(
+            [np.sum(emb * aug[pos_idx[:, j]], axis=1) for j in range(k)], axis=1
+        )
+        ttl = emb @ aug.T + bias
+        pos_sum = np.sum(np.exp(pos_scores / 0.1), axis=1)
+        ttl_sum = np.sum(np.exp(ttl / 0.1), axis=1)
+        return -np.sum(um * np.log(pos_sum / ttl_sum + 1e-12))
+
+    want = (
+        ndis(topk((p_sha + p_rec) / 2, k), fr)
+        + ndis(topk((p_soc + p_rec) / 2, k), sh)
+        + ndis(topk((p_soc + p_sha) / 2, k), rc)
+    )
+    assert got == pytest.approx(float(want), rel=1e-4)
+
+
+def test_buir_pair_loss_golden():
+    """BUIR's symmetric cross-prediction vs a hand-NumPy reference
+    (BUIR.py:128-143)."""
+    import jax.numpy as jnp
+
+    from qrec_tpu.models.social_graph import buir_pair_loss
+
+    rng = np.random.RandomState(9)
+    B, d = 5, 3
+    qu, qi, tu, ti = (rng.randn(B, d).astype(np.float32) for _ in range(4))
+    w = rng.rand(B).astype(np.float32)
+    got = float(
+        buir_pair_loss(*(jnp.asarray(a) for a in (qu, qi, tu, ti, w)))
+    )
+
+    def l2n(x):
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    loss = 1 - np.sum(l2n(qu) * l2n(ti), axis=1)
+    loss = loss + 1 - np.sum(l2n(qi) * l2n(tu), axis=1)
+    assert got == pytest.approx(float(np.sum(w * loss / 2)), rel=1e-5)
