@@ -309,11 +309,19 @@ def main():
     # (ops/topk.pallas_catalog_topk mesh path, used by parallel eval).
 
     # ---- SSL-family epoch (SimGCL: 3 propagations + InfoNCE per step) ----
-    simgcl_epoch_ms = simgcl_eps = None
+    # int8 adjacency headline (quality parity verified at the full 120-epoch
+    # protocol: Recall@10 0.2018 int8 vs 0.2016 bf16 — PARITY.md round 4),
+    # exact-bf16 alongside.
+    simgcl_epoch_ms = simgcl_eps = simgcl_bf16_ms = None
     try:
         conf_ssl = type(conf)(dict(conf.config))
         conf_ssl.config["model.name"] = "SimGCL"
         conf_ssl.config["SimGCL"] = "-n_layer 2 -lambda 0.1 -eps 0.1"
+        model_ssl = get_model("SimGCL")(conf_ssl, data)
+        spec_ssl = model_ssl.build()
+        dt_bf, _ = time_epochs(model_ssl, spec_ssl, max(2, args.epochs // 2))
+        simgcl_bf16_ms = dt_bf * 1e3
+        conf_ssl.config["graph.dense.quant"] = "int8"
         model_ssl = get_model("SimGCL")(conf_ssl, data)
         spec_ssl = model_ssl.build()
         dt_ssl, _ = time_epochs(model_ssl, spec_ssl, max(2, args.epochs // 2))
@@ -322,7 +330,8 @@ def main():
         if not args.json_only:
             print(
                 f"[bench] SimGCL lastfm epoch on {backend}: "
-                f"{simgcl_epoch_ms:.1f} ms ({simgcl_eps:,.0f} examples/s)",
+                f"{simgcl_epoch_ms:.1f} ms ({simgcl_eps:,.0f} examples/s; "
+                f"exact-bf16 {simgcl_bf16_ms:.1f} ms)",
                 file=sys.stderr,
             )
     except Exception as e:
@@ -450,6 +459,9 @@ def main():
                     "eval_ms_all_test_users": round(eval_s * 1e3, 2),
                     "simgcl_epoch_ms": round(simgcl_epoch_ms, 2)
                     if simgcl_epoch_ms is not None
+                    else None,
+                    "simgcl_epoch_ms_bf16_exact": round(simgcl_bf16_ms, 2)
+                    if simgcl_bf16_ms is not None
                     else None,
                     "simgcl_examples_per_sec": round(simgcl_eps, 0)
                     if simgcl_eps is not None
