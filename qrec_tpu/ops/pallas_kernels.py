@@ -573,7 +573,11 @@ def _dual_kernel(a_ref, xu_ref, xi_ref, ou_ref, oi_ref):
     """
     u = pl.program_id(0)
     i = pl.program_id(1)
-    a = a_ref[...]  # (UT, IT) bf16
+    a = a_ref[...]  # (UT, IT) bf16 — or int8 (quantized adjacency), in
+    # which case the dequant-to-bf16 runs in VMEM and the tile streams from
+    # HBM at HALF the bf16 bytes (quarter of the two-matmul XLA path)
+    if a.dtype == jnp.int8:
+        a = a.astype(jnp.bfloat16)
     ut, it = a.shape
     xu_t = xu_ref[pl.ds(pl.multiple_of(u * ut, ut), ut), :]  # (UT, d)
     xi_t = xi_ref[pl.ds(pl.multiple_of(i * it, it), it), :]  # (IT, d)
@@ -683,10 +687,11 @@ def dual_vmem_bytes(num_users: int, num_items: int, d: int) -> int:
     )
 
 
-def dual_pad_sizes(num_users: int, num_items: int):
-    """(Up, Ip) the dual kernel needs for a (num_users, num_items) A."""
+def dual_pad_sizes(num_users: int, num_items: int, sublane: int = 16):
+    """(Up, Ip) the dual kernel needs for a (num_users, num_items) A.
+    ``sublane`` is the dtype's sublane tile: 16 for bf16, 32 for int8."""
     up = (
-        _round_up(num_users, 16)  # bf16 sublane tile
+        _round_up(num_users, sublane)
         if num_users < DUAL_U_TILE
         else _round_up(num_users, DUAL_U_TILE)
     )

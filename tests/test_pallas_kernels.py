@@ -162,6 +162,29 @@ def test_bipartite_dual_matmul_interpret(u, i, d):
     np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("u,i,d", [(37, 211, 16), (600, 1100, 50)])
+def test_bipartite_dual_matmul_int8_interpret(u, i, d):
+    """int8 adjacency tiles dequantize in-kernel to exactly the bf16
+    result of the same quantized values (graph.dense.quant=int8 + dual)."""
+    from qrec_tpu.ops.pallas_kernels import (
+        bipartite_dual_matmul,
+        bipartite_dual_matmul_xla,
+        dual_pad_sizes,
+    )
+
+    rng = np.random.RandomState(7)
+    up, ip = dual_pad_sizes(u, i, sublane=32)
+    q = np.zeros((up, ip), dtype=np.int8)
+    q[:u, :i] = rng.randint(0, 127, size=(u, i)).astype(np.int8)
+    xu = jnp.asarray(rng.randn(up, d).astype(np.float32)).astype(jnp.bfloat16)
+    xi = jnp.asarray(rng.randn(ip, d).astype(np.float32)).astype(jnp.bfloat16)
+    ou, oi = bipartite_dual_matmul(jnp.asarray(q), xu, xi, interpret=True)
+    a_bf = jnp.asarray(q, dtype=jnp.bfloat16)
+    ru, ri = bipartite_dual_matmul_xla(a_bf, xu, xi)
+    np.testing.assert_allclose(np.asarray(ou), np.asarray(ru), rtol=2e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), rtol=2e-3, atol=2e-2)
+
+
 def test_dual_joint_matmul_grad_matches_xla(tiny_data):
     """The symmetric-VJP dual path must match the two-matmul XLA path in
     both the propagation output and the gradients through it."""
