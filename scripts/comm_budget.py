@@ -55,7 +55,7 @@ def hlo_collective_bytes(hlo_text):
     return total, per_kind
 
 
-def child(n_dev):
+def child(n_dev, yelp=False):
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_dev} "
         + os.environ.get("XLA_FLAGS", "")
@@ -67,8 +67,12 @@ def child(n_dev):
     import optax
 
     sys.path.insert(0, REPO)
-    from bench import build_problem
+    from bench import build_problem, build_yelp_scale
     from qrec_tpu.models import get_model
+
+    if yelp:
+        def build_problem(overrides):  # noqa: F811 — yelp-scale shapes
+            return build_yelp_scale(overrides)
 
     results = {}
 
@@ -88,11 +92,14 @@ def child(n_dev):
         lowered = jax.jit(step).lower(params, opt_state, one, jax.random.PRNGKey(1))
         return lowered.compile().as_text()
 
-    for name, backend, key in (
+    cases = (
         ("LightGCN", "coo", "lightgcn_coo"),
         ("LightGCN", "pallas", "lightgcn_sharded_pallas"),
         ("SimGCL", "coo", "simgcl_infonce"),
-    ):
+    )
+    if yelp:  # the pallas backend is what auto selects at this scale
+        cases = (("LightGCN", "pallas", "lightgcn_sharded_pallas"),)
+    for name, backend, key in cases:
         conf, data = build_problem({
             "model.name": name,
             "parallel.setup": "on -model 2" if n_dev > 1 else "off",
@@ -103,6 +110,10 @@ def child(n_dev):
         spec = model.build()
         total, per_kind = hlo_collective_bytes(step_hlo(model, spec))
         results[key] = {"bytes_per_step": total, "per_kind": per_kind}
+
+    if yelp:
+        print(json.dumps({"n_dev": n_dev, "results": results}))
+        return
 
     # sharded full-catalog eval at lastfm scale
     from qrec_tpu.parallel.mesh import make_mesh, shardings
@@ -123,13 +134,15 @@ def child(n_dev):
 
 
 def main():
+    yelp = "--yelp" in sys.argv
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+        child(int(sys.argv[2]), yelp=yelp)
         return
     rows = []
-    for n in (2, 4, 8):
+    for n in ((4,) if yelp else (2, 4, 8)):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)]
+            + (["--yelp"] if yelp else []),
             capture_output=True, text=True, cwd=REPO,
         )
         line = out.stdout.strip().split("\n")[-1] if out.stdout.strip() else ""
