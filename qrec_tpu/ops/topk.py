@@ -153,23 +153,24 @@ class CatalogRanker:
         bs = self.batch_size
         padded = ((b + bs - 1) // bs) * bs
         num_items = self.data.num_items
-        if not hasattr(self, "_dev_uids"):
-            self._dev_uids = jnp.asarray(
-                np.pad(self.uids, (0, padded - b), constant_values=-1)
+        if not hasattr(self, "_np_uids2d"):
+            # cache HOST arrays only — jnp.asarray happens per call so a
+            # trace never leaks a tracer-wrapped constant into the cache
+            # (topk_device runs inside the chunked-eval runner's scan)
+            self._np_uids2d = np.pad(
+                self.uids, (0, padded - b), constant_values=-1
             ).reshape(-1, bs)
-            self._dev_rated = jnp.asarray(
-                np.pad(
-                    self.rated_pad,
-                    ((0, padded - b), (0, 0)),
-                    constant_values=num_items,
-                )
+            self._np_rated3d = np.pad(
+                self.rated_pad,
+                ((0, padded - b), (0, 0)),
+                constant_values=num_items,
             ).reshape(-1, bs, self.rated_pad.shape[1])
 
         ids, scores = _topk_all(
             score_fn,
             params,
-            self._dev_uids,
-            self._dev_rated,
+            jnp.asarray(self._np_uids2d),
+            jnp.asarray(self._np_rated3d),
             self.global_mean,
             self.k,
             num_items,

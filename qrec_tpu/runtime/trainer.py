@@ -115,6 +115,88 @@ def make_chunk_runner(
     return jax.jit(run_chunk)
 
 
+# fixed metric order for device-side best tracking — matches the dict
+# insertion order of ops.metrics.device_ranking_metrics / quick_eval_metrics
+METRIC_KEYS = ("Precision", "Recall", "F1", "NDCG")
+
+
+def make_chunk_eval_runner(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    sampler: Callable,
+    eval_metrics_fn: Callable,
+    donate: bool = False,
+):
+    """Chunked multi-epoch runner with DEVICE-RESIDENT quick evaluation and
+    majority-vote best-model tracking.
+
+    The reference evaluates the ranking model every epoch and keeps the
+    best by a metric majority vote (iterativeRecommender.py:115-169); the
+    host-loop equivalent costs several device→host syncs per epoch —
+    ~975 ms/epoch wall over the remote-TPU tunnel for a 21 ms training
+    epoch. Here the whole (train epoch → encode → full-catalog top-k →
+    metrics → vote → best-params select) chain runs inside one
+    ``lax.scan`` over E epochs; the host syncs once per chunk.
+
+    ``eval_metrics_fn(params) -> (len(METRIC_KEYS),) f32`` in METRIC_KEYS
+    order. The vote replicates BestTracker.update exactly: count =
+    Σ(best > new) − Σ(best ≤ new), win iff count < 0; seeding ``best_vec``
+    with −inf makes the first epoch always win. ``epoch_ids`` carries the
+    absolute epoch index (local epoch + tracker offset); the stored best
+    epoch is ``epoch_id + 1`` like BestTracker.
+
+    Losses and final params are bit-identical to the per-epoch loop — the
+    per-epoch (sampler_rng, step_rng) pairs use the identical split
+    sequence (see make_chunk_runner).
+    """
+
+    def run(params, opt_state, rng_pairs, epoch_ids, best_params, best_vec,
+            best_epoch):
+        def epoch_body(carry, xs):
+            params, opt_state, best_params, best_vec, best_epoch = carry
+            pair, eid = xs
+            batches = sampler(pair[0])
+            num_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            step_rngs = jax.random.split(pair[1], num_batches)
+
+            def step(c, sx):
+                p, o = c
+                batch, step_rng = sx
+                loss, grads = jax.value_and_grad(loss_fn)(p, batch, step_rng)
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (batches, step_rngs)
+            )
+            vec = eval_metrics_fn(params)
+            count = jnp.sum(jnp.where(best_vec > vec, 1, -1))
+            win = count < 0
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(win, p, b), best_params, params
+            )
+            best_vec = jnp.where(win, vec, best_vec)
+            best_epoch = jnp.where(win, eid + 1, best_epoch)
+            return (
+                (params, opt_state, best_params, best_vec, best_epoch),
+                (jnp.sum(losses), vec),
+            )
+
+        (params, opt_state, best_params, best_vec, best_epoch), (
+            losses,
+            metrics,
+        ) = jax.lax.scan(
+            epoch_body,
+            (params, opt_state, best_params, best_vec, best_epoch),
+            (rng_pairs, epoch_ids),
+        )
+        return params, opt_state, losses, metrics, best_params, best_vec, best_epoch
+
+    if donate:
+        return jax.jit(run, donate_argnums=(0, 1))
+    return jax.jit(run)
+
+
 class BoldDriver:
     """Epoch-level LR schedule from the reference
     (base/iterativeRecommender.py:56-63)."""
@@ -196,6 +278,20 @@ class ConvergenceMonitor:
         converged = abs(delta) < self.tol
         self.last_loss = loss
         return converged
+
+
+def quick_eval_vector(ranker, score_fn, params, top_n: int) -> jnp.ndarray:
+    """Device-resident quick eval: METRIC_KEYS-ordered (4,) f32 vector —
+    the traceable core of :func:`quick_eval_metrics`, used inside the
+    chunked eval runner's scan."""
+    ids, _ = ranker.topk_device(score_fn, params)
+    dev = device_ranking_metrics(
+        ids,
+        jnp.asarray(ranker.test_ids),
+        jnp.asarray(ranker.test_counts),
+        [top_n],
+    )[top_n]
+    return jnp.stack([dev[k] for k in METRIC_KEYS]).astype(jnp.float32)
 
 
 def quick_eval_metrics(

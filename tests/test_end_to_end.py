@@ -153,3 +153,32 @@ def test_predict_mode_writes_lists_only(tmp_path):
     assert measure == []
     results = os.listdir(tmp_path / "results")
     assert any("top-10items" in f for f in results)
+
+
+def test_chunked_eval_dispatch_matches_per_epoch(tmp_path):
+    """The device-resident quick-eval + majority-vote chunked runner
+    (trainer.make_chunk_eval_runner) must reproduce the per-epoch host
+    loop exactly: same best metrics, same best epoch, same final measure
+    (train.chunk=1 forces the host loop; auto uses the device chain)."""
+    ratings = _write_block_dataset(tmp_path)
+
+    def run(chunk):
+        conf = _conf(
+            tmp_path,
+            ratings,
+            **{
+                "model.name": "LightGCN",
+                "LightGCN": "-n_layer 2",
+                "num.max.epoch": "11",
+                "train.chunk": chunk,
+                "output.setup": "off -dir ./results/",
+            },
+        )
+        rec = QRec(conf, seed=3)
+        return parse_measure(rec.execute())
+
+    host = run("1")
+    dev = run("auto")
+    for block in host:
+        for k, v in host[block].items():
+            assert dev[block][k] == pytest.approx(v, abs=1e-6), (block, k)
