@@ -154,9 +154,6 @@ class CatalogRanker:
         padded = ((b + bs - 1) // bs) * bs
         num_items = self.data.num_items
         if not hasattr(self, "_np_uids2d"):
-            # cache HOST arrays only — jnp.asarray happens per call so a
-            # trace never leaks a tracer-wrapped constant into the cache
-            # (topk_device runs inside the chunked-eval runner's scan)
             self._np_uids2d = np.pad(
                 self.uids, (0, padded - b), constant_values=-1
             ).reshape(-1, bs)
@@ -165,12 +162,28 @@ class CatalogRanker:
                 ((0, padded - b), (0, 0)),
                 constant_values=num_items,
             ).reshape(-1, bs, self.rated_pad.shape[1])
+        uids2d = getattr(self, "_dev_uids", None)
+        if uids2d is None:
+            uids2d = jnp.asarray(self._np_uids2d)
+            rated3d = jnp.asarray(self._np_rated3d)
+            # cache the device arrays ONLY when built eagerly: under a trace
+            # (topk_device runs inside the chunked-eval runner's scan) these
+            # are tracer-wrapped constants, and caching one leaks it into
+            # the next trace (UnexpectedTracerError on the final partial
+            # chunk's retrace); eagerly they're concrete and caching avoids
+            # re-uploading the rated table every eval call
+            import jax as _jax
+
+            if not isinstance(uids2d, _jax.core.Tracer):
+                self._dev_uids, self._dev_rated = uids2d, rated3d
+        else:
+            rated3d = self._dev_rated
 
         ids, scores = _topk_all(
             score_fn,
             params,
-            jnp.asarray(self._np_uids2d),
-            jnp.asarray(self._np_rated3d),
+            uids2d,
+            rated3d,
             self.global_mean,
             self.k,
             num_items,
