@@ -265,7 +265,7 @@ class IterativeRecommender(Recommender):
             )
         return self._rated_bitmask
 
-    def pairwise_sampler(self, num_tries: int = 8) -> Callable:
+    def pairwise_sampler(self, num_tries: int = 8, shuffle: bool = True) -> Callable:
         """rng -> (users, pos, neg, weight) batched epoch tensors."""
         ta = self.train_arrays
         row_iters = sampling._bisect_iters(
@@ -285,6 +285,7 @@ class IterativeRecommender(Recommender):
                 num_tries=num_tries,
                 row_iters=row_iters,
                 bitmask=bitmask,
+                shuffle=shuffle,
             )
 
         return sampler

@@ -204,7 +204,10 @@ def sample_negatives(
     ).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("num_items", "batch_size", "num_tries", "row_iters"))
+@partial(
+    jax.jit,
+    static_argnames=("num_items", "batch_size", "num_tries", "row_iters", "shuffle"),
+)
 def pairwise_epoch(
     rng: jax.Array,
     train_u: jnp.ndarray,  # (n,) int32
@@ -216,16 +219,23 @@ def pairwise_epoch(
     num_tries: int = 8,
     row_iters: int = 32,
     bitmask=None,
+    shuffle: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shuffled (user, pos, neg, weight) tensors for one epoch, shaped
     ``(num_batches, batch_size)``; ``weight`` zeroes the padded tail.
 
     Mirrors next_batch_pairwise (deepRecommender.py:29-52): shuffle the
     training pairs, then one uniform non-positive negative per positive.
-    """
+    ``shuffle=False`` keeps the training-pair file order with fresh
+    negatives per epoch — BPR's own TF batcher iterates sequentially
+    (BPR.py:57-64)."""
     n = train_u.shape[0]
     rng_perm, rng_neg = jax.random.split(rng)
-    perm = jax.random.permutation(rng_perm, n)
+    perm = (
+        jax.random.permutation(rng_perm, n)
+        if shuffle
+        else jnp.arange(n, dtype=jnp.int32)
+    )
     num_batches = (n + batch_size - 1) // batch_size
     padded = num_batches * batch_size
     pad_idx = jnp.concatenate([perm, jnp.zeros(padded - n, dtype=perm.dtype)])

@@ -63,13 +63,21 @@ class DenseJoint(NamedTuple):
     # them — see pallas_kernels.bipartite_dual_matmul.
     r_hat_p: Optional[jnp.ndarray] = None
     dual_interpret: bool = False
-    # int8-quantized adjacency (graph.dense.quant=int8): per-user-row uint
-    # scale, values q8 = round(r / scale) ∈ [0, 127]. Halves the
-    # HBM-dominant adjacency stream of every propagation in BOTH directions
-    # via the symmetric custom VJP (_int8_joint_matmul).
+    # int8 adjacency representations (graph.dense.quant):
+    #   'int8' (legacy, lossy): per-user-row scale, q8 = round(r/scale)
+    #     ∈ [0,127], col_scale None.
+    #   'factored' (EXACT): the normalized adjacency factors as
+    #     Â = diag(deg_u^-1/2) · R · diag(deg_i^-1/2) with BINARY R
+    #     (graphRecommender.py:10-29 binarizes interactions), so q8 stores R
+    #     itself in int8 with row_scale = deg_u^-1/2, col_scale = deg_i^-1/2
+    #     — zero representation error (the only rounding is the bf16 cast of
+    #     the scaled activations, the same class as the bf16 dense path).
+    # Both halve the HBM-dominant adjacency stream of every propagation in
+    # BOTH directions via the symmetric custom VJP (_int8_joint_matmul).
     q8: Optional[jnp.ndarray] = None  # (U, I) int8
     q8_t: Optional[jnp.ndarray] = None  # (I, U) int8
     row_scale: Optional[jnp.ndarray] = None  # (U,) f32
+    col_scale: Optional[jnp.ndarray] = None  # (I,) f32 — factored only
 
     @property
     def num_rows(self) -> int:
@@ -82,24 +90,39 @@ class DenseJoint(NamedTuple):
         data,
         dual: bool = False,
         dual_interpret: bool = False,
-        quant: bool = False,
+        quant=False,
     ) -> "DenseJoint":
         """Build D^-1/2 R D^-1/2 densely (binary interactions, matching
-        base/graphRecommender.py:10-29)."""
+        base/graphRecommender.py:10-29). ``quant``: False/'off' = bf16,
+        'int8' = legacy per-row-scaled, 'factored' = exact binary-R int8."""
         import numpy as np
 
         deg_u = np.maximum(np.diff(data.u_indptr), 1).astype(np.float32)
         deg_i = np.maximum(np.diff(data.i_indptr), 1).astype(np.float32)
         u = data.train_u[data.csr_sel]
         i = data.train_i[data.csr_sel]
+        if quant == "factored":
+            rb = np.zeros((data.num_users, data.num_items), dtype=np.int8)
+            rb[u, i] = 1
+            return cls(
+                None,
+                None,
+                data.num_users,
+                None,
+                dual_interpret,
+                jnp.asarray(rb),
+                jnp.asarray(np.ascontiguousarray(rb.T)),
+                jnp.asarray(1.0 / np.sqrt(deg_u)),
+                jnp.asarray(1.0 / np.sqrt(deg_i)),
+            )
         vals = 1.0 / np.sqrt(deg_u[u]) / np.sqrt(deg_i[i])
         r = np.zeros((data.num_users, data.num_items), dtype=np.float32)
         r[u, i] = vals
-        if quant:
-            # per-user-row scale: the row max maps to 127, so the largest
-            # entries carry bf16-class (~0.4%) error and the smallest entry
-            # of a row (ratio to the max bounded by sqrt(max item degree /
-            # min item degree)) stays well above the quantization step
+        if quant and quant != "off":
+            # legacy per-user-row scale: the row max maps to 127, so the
+            # largest entries carry bf16-class (~0.4%) error and the smallest
+            # entry of a row (ratio to the max bounded by sqrt(max item
+            # degree / min item degree)) stays above the quantization step
             smax = r.max(axis=1)
             scale = np.where(smax > 0, smax / 127.0, 1.0).astype(np.float32)
             q = np.rint(r / scale[:, None]).astype(np.int8)
@@ -223,56 +246,152 @@ _dual_joint_matmul.defvjp(_dual_fwd, _dual_bwd)
 
 
 @jax.custom_vjp
-def _int8_joint_matmul(q8, q8_t, s, x):
-    """Joint propagation with int8-quantized adjacency
-    (``graph.dense.quant=int8``).
+def _int8_joint_matmul(q8, q8_t, su, si, x):
+    """Joint propagation with an int8 adjacency (``graph.dense.quant``).
 
-    The joint matrix M = [[0, Ŝ], [Ŝᵀ, 0]] with Ŝ = diag(s)·Q is symmetric
-    as an operator, so the VJP of ``y = M @ x`` is ``dx = M @ dy`` — the
-    backward is the SAME dequantized dots with the SAME operand layouts.
-    This matters: XLA's autodiff backward would read the int8→bf16 convert
-    through a transpose, which does not fuse into the dot and re-materializes
-    a bf16 copy (scripts/int8_bench.py: fwd 1.35×, autodiff fwd+bwd 1.03×).
-    With the symmetric VJP the int8 tables stream at half the bf16 bytes in
-    both passes.
+    Legacy lossy form (``si=None``): Ŝ = diag(su)·Q with Q the per-row
+    quantized values. Factored EXACT form: Ŝ = diag(su)·R·diag(si) with R
+    the binary interaction matrix stored in int8 — no representation error.
+
+    The joint matrix M = [[0, Ŝ], [Ŝᵀ, 0]] is symmetric as an operator, so
+    the VJP of ``y = M @ x`` is ``dx = M @ dy`` — the backward is the SAME
+    dequantized dots with the SAME operand layouts. This matters: XLA's
+    autodiff backward would read the int8→bf16 convert through a transpose,
+    which does not fuse into the dot and re-materializes a bf16 copy
+    (scripts/int8_bench.py: fwd 1.35×, autodiff fwd+bwd 1.03×). With the
+    symmetric VJP the int8 tables stream at half the bf16 bytes both ways.
     """
-    return _int8_call(q8, q8_t, s, x)
+    return _int8_call(q8, q8_t, su, si, x)
 
 
-def _int8_call(q8, q8_t, s, x):
+def _int8_call(q8, q8_t, su, si, x):
     nu = q8.shape[0]
-    xi = x[nu:].astype(jnp.bfloat16)
-    # out_u = s ⊙ (Q @ x_i)  — scale applied on the f32 accumulator;
-    # out_i = Qᵀ @ (s ⊙ x_u) — scale applied in f32 before the bf16 cast
+    xi = x[nu:]
+    xu = x[:nu]
+    if si is not None:
+        xi = xi * si[:, None]
+    # out_u = su ⊙ (Q @ [si ⊙] x_i) — row scale applied on the f32
+    # accumulator; out_i = [si ⊙] (Qᵀ @ (su ⊙ x_u)) — pre/post scales in f32
+    # around the bf16 dots
     ou = jnp.dot(
-        q8.astype(jnp.bfloat16), xi, preferred_element_type=jnp.float32
-    ) * s[:, None]
+        q8.astype(jnp.bfloat16),
+        xi.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * su[:, None]
     oi = jnp.dot(
         q8_t.astype(jnp.bfloat16),
-        (x[:nu] * s[:, None]).astype(jnp.bfloat16),
+        (xu * su[:, None]).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+    if si is not None:
+        oi = oi * si[:, None]
     return jnp.concatenate([ou, oi])
 
 
-def _int8_fwd(q8, q8_t, s, x):
-    return _int8_call(q8, q8_t, s, x), (q8, q8_t, s)
+def _int8_fwd(q8, q8_t, su, si, x):
+    return _int8_call(q8, q8_t, su, si, x), (q8, q8_t, su, si)
 
 
 def _int8_bwd(res, g):
-    q8, q8_t, s = res
-    # integer primals take float0 cotangents; the scale is a constant whose
-    # zero cotangent is dead-code-eliminated under jit
+    q8, q8_t, su, si = res
+    # integer primals take float0 cotangents; the scales are constants whose
+    # zero cotangents are dead-code-eliminated under jit
     f0 = jax.dtypes.float0
     return (
         np.zeros(q8.shape, dtype=f0),
         np.zeros(q8_t.shape, dtype=f0),
-        jnp.zeros_like(s),
-        _int8_call(q8, q8_t, s, g),
+        jnp.zeros_like(su),
+        None if si is None else jnp.zeros_like(si),
+        _int8_call(q8, q8_t, su, si, g),
     )
 
 
 _int8_joint_matmul.defvjp(_int8_fwd, _int8_bwd)
+
+
+def split_consts(adj):
+    """Separate an adjacency's device arrays from its static metadata for
+    jit-argument threading (TrainSpec.consts).
+
+    Closure-captured arrays embed in the serialized HLO as constants, and
+    the axon remote-compile tunnel rejects programs past ~a few hundred MB
+    of embedded constants (HTTP 413 — measured: yelp-scale 409M-entry dense
+    tables fail, lastfm's 33M pass). Threading them as jit ARGUMENTS
+    serializes only the shapes. Pallas-layout backends (PaddedCOO /
+    ShardedPaddedCOO) keep closure capture: their custom VJPs hold the whole
+    layout as a nondiff argument and their index arrays are edge-sized, not
+    dense-sized.
+
+    Returns ``(template, arrays)``; rebuild inside the jitted function with
+    :func:`join_consts`.
+    """
+    if isinstance(adj, (DenseJoint, DeviceCOO, DenseMat)):
+        arrays = {
+            f: getattr(adj, f)
+            for f in adj._fields
+            if isinstance(getattr(adj, f), jax.Array)
+        }
+        return adj._replace(**{f: None for f in arrays}), arrays
+    return adj, {}
+
+
+def join_consts(template, arrays):
+    """Rebuild a :func:`split_consts` adjacency from its threaded arrays."""
+    if arrays:
+        return template._replace(**arrays)
+    return template
+
+
+def factored_edge_drop_view(rng, q8, q8_t, drop_rate: float):
+    """Edge-dropout view of the FACTORED dense adjacency (SGL.py:128-141,
+    aug types 1/2): one Bernoulli keep draw per interaction cell, masked
+    binary tables renormalized by the kept degrees — the dense-MXU analogue
+    of ops.spmm.subgraph_vals + renormalize_vals (deg>0 → rsqrt, else 0).
+
+    Returns ``(q8v, q8v_t, su, si)`` for :func:`factored_view_matmul`. The
+    masked tables are materialized per view (int8, one mask-fused pass per
+    direction); degrees come from exact f32-accumulated reductions.
+    """
+    keep = jax.random.bernoulli(rng, 1.0 - drop_rate, q8.shape)
+    q8v = q8 * keep.astype(jnp.int8)
+    q8v_t = q8_t * keep.T.astype(jnp.int8)
+    deg_u = jnp.sum(q8v, axis=1, dtype=jnp.float32)
+    deg_i = jnp.sum(q8v_t, axis=1, dtype=jnp.float32)
+    su = jnp.where(deg_u > 0, jax.lax.rsqrt(jnp.maximum(deg_u, 1e-12)), 0.0)
+    si = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)), 0.0)
+    return q8v, q8v_t, su, si
+
+
+def factored_node_drop_view(rng, q8, q8_t, drop_rate: float):
+    """Node-dropout view (SGL.py:113-126, aug type 0) of the factored dense
+    adjacency. The keep mask is the rank-1 outer product ku·kiᵀ, so NO
+    masked table is materialized: a dropped node's renormalized scale is 0,
+    which kills every incident edge, and propagation reuses the UNMASKED
+    binary tables. Kept-subgraph degrees are two exact binary matvecs
+    (bf16 0/1 products, f32 accumulation)."""
+    ku = jax.random.bernoulli(rng, 1.0 - drop_rate, (q8.shape[0],))
+    ki = jax.random.bernoulli(
+        jax.random.fold_in(rng, 1), 1.0 - drop_rate, (q8.shape[1],)
+    )
+    kuf = ku.astype(jnp.bfloat16)
+    kif = ki.astype(jnp.bfloat16)
+    deg_u = jnp.dot(
+        q8.astype(jnp.bfloat16), kif[:, None],
+        preferred_element_type=jnp.float32,
+    )[:, 0] * ku
+    deg_i = jnp.dot(
+        q8_t.astype(jnp.bfloat16), kuf[:, None],
+        preferred_element_type=jnp.float32,
+    )[:, 0] * ki
+    su = jnp.where(deg_u > 0, jax.lax.rsqrt(jnp.maximum(deg_u, 1e-12)), 0.0)
+    si = jnp.where(deg_i > 0, jax.lax.rsqrt(jnp.maximum(deg_i, 1e-12)), 0.0)
+    return q8, q8_t, su, si
+
+
+def factored_view_matmul(q8v, q8v_t, su, si, x):
+    """Joint propagation through a masked factored view — the same symmetric
+    custom-VJP dots as the main factored path, on per-view tables/scales."""
+    return _int8_joint_matmul(q8v, q8v_t, su, si, x)
 
 
 def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -291,7 +410,9 @@ def spmm(adj, x: jnp.ndarray, vals: Optional[jnp.ndarray] = None) -> jnp.ndarray
     if isinstance(adj, DenseJoint):
         assert vals is None, "per-edge values need the COO path"
         if adj.q8 is not None:
-            return _int8_joint_matmul(adj.q8, adj.q8_t, adj.row_scale, x)
+            return _int8_joint_matmul(
+                adj.q8, adj.q8_t, adj.row_scale, adj.col_scale, x
+            )
         if adj.r_hat_p is not None:
             nu = adj.num_users
             return _dual_joint_matmul(
