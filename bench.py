@@ -109,6 +109,18 @@ def build_yelp_scale(conf_overrides=None, d=64, batch_size=2048):
     return conf, Interactions(conf, train, test)
 
 
+def _cargs(spec, device=None):
+    """Consts-threading args for the jitted runners (TrainSpec.consts)."""
+    import jax
+
+    if spec.consts is None:
+        return ()
+    consts = spec.consts
+    if device is not None:
+        consts = jax.device_put(consts, device)
+    return (consts,)
+
+
 def time_epochs(model, spec, n_epochs, device=None):
     """Time steady-state epochs of the shared training loop on a device."""
     import jax
@@ -121,6 +133,7 @@ def time_epochs(model, spec, n_epochs, device=None):
         optimizer = optax.adam(model.lrate)
         run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
         params = jax.device_put(spec.params, device) if device else spec.params
+        cargs = _cargs(spec, device)
         opt_state = optimizer.init(params)
         rng = jax.random.PRNGKey(0)
         # warm-up epoch (compile)
@@ -128,13 +141,13 @@ def time_epochs(model, spec, n_epochs, device=None):
         batches = spec.sampler(r1)
         if device:
             batches = jax.device_put(jax.tree_util.tree_map(lambda x: x, batches), device)
-        params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+        params, opt_state, loss = run_epoch(params, opt_state, batches, r2, *cargs)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for _ in range(n_epochs):
             rng, r1, r2 = jax.random.split(rng, 3)
             batches = spec.sampler(r1)
-            params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+            params, opt_state, loss = run_epoch(params, opt_state, batches, r2, *cargs)
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / n_epochs
     return dt, params
@@ -152,6 +165,7 @@ def time_epochs_chunked(model, spec, chunk=8, reps=3):
     optimizer = optax.adam(model.lrate)
     run_chunk = make_chunk_runner(spec.loss_fn, optimizer, spec.sampler)
     params = spec.params
+    cargs = _cargs(spec)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
 
@@ -161,12 +175,12 @@ def time_epochs_chunked(model, spec, chunk=8, reps=3):
             for i in range(chunk)
         ])
 
-    params, opt_state, losses = run_chunk(params, opt_state, pairs(rng))
+    params, opt_state, losses = run_chunk(params, opt_state, pairs(rng), *cargs)
     jax.block_until_ready(losses)
     t0 = time.perf_counter()
     for k in range(reps):
         params, opt_state, losses = run_chunk(
-            params, opt_state, pairs(jax.random.fold_in(rng, 1000 + k))
+            params, opt_state, pairs(jax.random.fold_in(rng, 1000 + k)), *cargs
         )
     jax.block_until_ready(losses)
     return (time.perf_counter() - t0) / (reps * chunk)
@@ -200,30 +214,33 @@ def main():
 
     backend = jax.default_backend()
     dt_disp, params_final = time_epochs(model, spec, args.epochs)
-    # exact-bf16 adjacency path, chunked dispatch (train.chunk auto —
-    # sampler folded into one jit scanning 8 epochs/dispatch; bit-identical
-    # losses, runtime/trainer.make_chunk_runner)
-    dt_bf16 = time_epochs_chunked(model, spec, chunk=8, reps=3)
-    # headline: int8-quantized adjacency (graph.dense.quant=int8) — halves
-    # the HBM-dominant adjacency stream via the symmetric custom VJP
-    # (ops/spmm._int8_joint_matmul). Quality-parity verified on the full
-    # 120-epoch protocol: Recall@10 0.1622 vs the bf16 path's 0.1626
-    # (PARITY.md round 4) — within run variance.
+    # HEADLINE = the DEFAULT config path (VERDICT r4 #10). On TPU
+    # graph.dense.quant=auto resolves to the EXACT binary-factored int8
+    # adjacency (Â = diag(deg_u^-1/2)·R·diag(deg_i^-1/2), binary R in int8 —
+    # zero representation error, half the bf16 bytes); chunked dispatch
+    # (train.chunk auto, bit-identical losses, trainer.make_chunk_runner).
+    dt_dev = time_epochs_chunked(model, spec, chunk=8, reps=3)
+    adj0 = model.joint_adj
+    if getattr(adj0, "col_scale", None) is not None:
+        adj_repr = "factored-int8-exact"
+    elif getattr(adj0, "q8", None) is not None:
+        adj_repr = "int8"
+    else:
+        adj_repr = "bf16"
+    # bf16 dense contrast (graph.dense.quant=off)
     try:
-        conf_q = type(conf)(dict(conf.config))
-        conf_q.config["graph.dense.quant"] = "int8"
-        model_q = model_cls(conf_q, data)
-        spec_q = model_q.build()
-        dt_dev = time_epochs_chunked(model_q, spec_q, chunk=8, reps=3)
-        quant_headline = True
+        conf_b = type(conf)(dict(conf.config))
+        conf_b.config["graph.dense.quant"] = "off"
+        model_b = model_cls(conf_b, data)
+        dt_bf16 = time_epochs_chunked(model_b, model_b.build(), chunk=8, reps=3)
     except Exception as e:
-        print(f"[bench] int8 path failed ({e}); bf16 headline", file=sys.stderr)
-        dt_dev, quant_headline = dt_bf16, False
+        print(f"[bench] bf16 contrast failed ({e})", file=sys.stderr)
+        dt_bf16 = dt_dev
     eps_dev = n_train / dt_dev
     if not args.json_only:
         print(
             f"[bench] LightGCN lastfm epoch on {backend}: {dt_dev * 1e3:.1f} ms "
-            f"({eps_dev:,.0f} examples/s; exact-bf16 {dt_bf16 * 1e3:.1f} ms; "
+            f"({eps_dev:,.0f} examples/s, {adj_repr}; bf16 {dt_bf16 * 1e3:.1f} ms; "
             f"per-dispatch loop {dt_disp * 1e3:.1f} ms)",
             file=sys.stderr,
         )
@@ -237,7 +254,7 @@ def main():
     # as null.
     from qrec_tpu.ops.spmm import DenseJoint
 
-    model_r = model_q if quant_headline else model
+    model_r = model
     u_n, i_n, d_f = data.num_users, data.num_items, model.emb_size
     steps = (n_train + model.batch_size - 1) // model.batch_size
     n_layers = getattr(model, "n_layers", 2)
@@ -280,7 +297,7 @@ def main():
 
     ranker = CatalogRanker(data, k=10, batch_size=1024)
     sp = (
-        spec.score_params_fn(params_final)
+        spec.score_params_fn(params_final, *_cargs(spec))
         if spec.score_params_fn is not None
         else params_final
     )
@@ -309,19 +326,18 @@ def main():
     # (ops/topk.pallas_catalog_topk mesh path, used by parallel eval).
 
     # ---- SSL-family epoch (SimGCL: 3 propagations + InfoNCE per step) ----
-    # int8 adjacency headline (quality parity verified at the full 120-epoch
-    # protocol: Recall@10 0.2018 int8 vs 0.2016 bf16 — PARITY.md round 4),
-    # exact-bf16 alongside.
+    # default path (auto → exact factored int8 on TPU), bf16 alongside
     simgcl_epoch_ms = simgcl_eps = simgcl_bf16_ms = None
     try:
         conf_ssl = type(conf)(dict(conf.config))
         conf_ssl.config["model.name"] = "SimGCL"
         conf_ssl.config["SimGCL"] = "-n_layer 2 -lambda 0.1 -eps 0.1"
+        conf_ssl.config["graph.dense.quant"] = "off"
         model_ssl = get_model("SimGCL")(conf_ssl, data)
         spec_ssl = model_ssl.build()
         dt_bf, _ = time_epochs(model_ssl, spec_ssl, max(2, args.epochs // 2))
         simgcl_bf16_ms = dt_bf * 1e3
-        conf_ssl.config["graph.dense.quant"] = "int8"
+        conf_ssl.config["graph.dense.quant"] = "auto"
         model_ssl = get_model("SimGCL")(conf_ssl, data)
         spec_ssl = model_ssl.build()
         dt_ssl, _ = time_epochs(model_ssl, spec_ssl, max(2, args.epochs // 2))
@@ -331,7 +347,7 @@ def main():
             print(
                 f"[bench] SimGCL lastfm epoch on {backend}: "
                 f"{simgcl_epoch_ms:.1f} ms ({simgcl_eps:,.0f} examples/s; "
-                f"exact-bf16 {simgcl_bf16_ms:.1f} ms)",
+                f"bf16 {simgcl_bf16_ms:.1f} ms)",
                 file=sys.stderr,
             )
     except Exception as e:
@@ -340,10 +356,11 @@ def main():
     # ---- yelp2018-scale end-to-end (north-star shapes, TPU only) --------
     # Full session pieces — train epoch (chunked runner) + full-catalog
     # eval — at the reference's production benchmark statistics
-    # (config/SGL.conf protocol: d=64, batch 2048). auto resolves to the
-    # Pallas edge kernel here (dense is past the tunnel's embed budget —
-    # see ops/spmm.AXON_EMBED_LIMIT); the XLA COO path is timed as the
-    # dense-budget-excluded contrast.
+    # (config/SGL.conf protocol: d=64, batch 2048). With the adjacency
+    # threaded as a jit argument (TrainSpec.consts) the tunnel's embedded-
+    # constant cap no longer applies, so auto resolves to the dense factored
+    # int8 MXU path even at 409M entries; the XLA COO path is timed as the
+    # sparse contrast.
     yelp = None
     if backend == "tpu" and not args.skip_yelp:
         try:
@@ -365,7 +382,7 @@ def main():
 
             ranker_y = CatalogRanker(data_y, k=20, batch_size=1024)
             sp_y = (
-                spec_y.score_params_fn(spec_y.params)
+                spec_y.score_params_fn(spec_y.params, *_cargs(spec_y))
                 if spec_y.score_params_fn is not None
                 else spec_y.params
             )
@@ -441,13 +458,13 @@ def main():
                 # which is not installable here (BASELINE.md)
                 "vs_baseline": None if vs_baseline != vs_baseline else round(vs_baseline, 2),
                 "extra": {
-                    # headline path: int8-quantized adjacency
-                    # (graph.dense.quant=int8), quality-parity verified at
-                    # the full 120-epoch protocol (PARITY.md round 4)
+                    # headline = the DEFAULT config path: on TPU, the EXACT
+                    # binary-factored int8 adjacency (graph.dense.quant=auto;
+                    # zero representation error — ops/spmm.DenseJoint)
                     "epoch_ms": round(dt_dev * 1e3, 2),
-                    "adjacency_quant": "int8" if quant_headline else "bf16",
-                    # exact bf16 edge weights (the parity-default path)
-                    "epoch_ms_bf16_exact": round(dt_bf16 * 1e3, 2),
+                    "adjacency_quant": adj_repr,
+                    # bf16 dense contrast (graph.dense.quant=off)
+                    "epoch_ms_bf16": round(dt_bf16 * 1e3, 2),
                     "epoch_ms_per_dispatch_loop": round(dt_disp * 1e3, 2),
                     # genuine reference baseline: its TF1 graph run on this
                     # host's CPU via the tf1-compat shim (see constant above)

@@ -806,6 +806,20 @@ class IterativeRecommender(Recommender):
         return params
 
 
+def resolved_platform() -> str:
+    """The platform jax actually resolved — honors a post-import
+    ``jax.config.update('jax_platforms', ...)`` override, falling back to
+    the JAX_PLATFORMS env var (the axon tunnel sets the latter; a CPU
+    switch per CLAUDE.md sets only the former)."""
+    import os
+
+    return (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS", "")
+        or ""
+    )
+
+
 class GraphRecommender(IterativeRecommender):
     """Adds the normalized joint adjacency on device
     (base/graphRecommender.py:10-39).
@@ -817,6 +831,12 @@ class GraphRecommender(IterativeRecommender):
     config key ``graph.backend=coo|dense|pallas`` (``pallas`` = the one-hot
     MXU scatter kernel in ops/pallas_kernels.weighted_segment_matmul).
     """
+
+    # Models whose build() threads the joint adjacency through
+    # TrainSpec.consts (jit argument, ops/spmm.split_consts) instead of
+    # closing over it — for them dense tables never embed in the serialized
+    # HLO, so the axon tunnel's constant-size cap does not apply.
+    threads_adj_consts = False
 
     @property
     def joint_adj(self):
@@ -861,14 +881,15 @@ class GraphRecommender(IterativeRecommender):
             # yelp-scale 409M-entry table 413s even at int8, while lastfm's
             # 33M passes. Under the tunnel, auto therefore caps the dense
             # path at a conservative embed budget (the pallas edge kernel
-            # takes over past it); an explicit graph.dense.limit or
+            # takes over past it) — UNLESS the model threads the adjacency
+            # through TrainSpec.consts (jit argument: only shapes are
+            # serialized). An explicit graph.dense.limit or
             # graph.backend=dense still forces the attempt.
-            import os as _os
-
             if (
                 backend == "auto"
+                and not self.threads_adj_consts
                 and not self.config.contains("graph.dense.limit")
-                and _os.environ.get("JAX_PLATFORMS", "") == "axon"
+                and resolved_platform() == "axon"
             ):
                 dense_ok = dense_ok and (
                     self.num_users * self.num_items <= AXON_EMBED_LIMIT
@@ -918,32 +939,39 @@ class GraphRecommender(IterativeRecommender):
                         "graph.dense.dual=on exceeds the kernel's VMEM "
                         "budget for this shape; using the two-matmul path"
                     )
-                # int8-quantized adjacency (opt-in): halves the HBM-dominant
-                # adjacency stream via the symmetric custom VJP
-                # (ops/spmm._int8_joint_matmul). Off by default — the
-                # per-row-scaled quantization perturbs edge weights by up to
-                # ~1e-3 absolute, a bigger precision class than bf16, so the
-                # reference-parity paths keep exact bf16 weights.
-                quant_conf = self.config.get("graph.dense.quant", "off")
-                if quant_conf not in ("off", "int8"):
+                # int8 adjacency (graph.dense.quant=auto|off|int8|factored):
+                # halves the HBM-dominant adjacency stream via the symmetric
+                # custom VJP (ops/spmm._int8_joint_matmul). 'factored' is
+                # EXACT — the normalized adjacency factors as
+                # diag(deg_u^-1/2)·R·diag(deg_i^-1/2) with binary R stored
+                # int8, so the only rounding is the bf16 activation cast,
+                # the same class as the bf16 dense path — and is therefore
+                # the DEFAULT on TPU (auto). 'int8' is the legacy lossy
+                # per-row-scaled form (parity measured in PARITY.md); CPU
+                # auto stays bf16 (no int8 matmul advantage there).
+                quant_conf = self.config.get("graph.dense.quant", "auto")
+                if quant_conf not in ("auto", "off", "int8", "factored"):
                     from ..errors import ConfigError
 
                     raise ConfigError(
-                        "graph.dense.quant must be off|int8, got "
-                        f"{quant_conf!r}"
+                        "graph.dense.quant must be auto|off|int8|factored, "
+                        f"got {quant_conf!r}"
                     )
-                use_quant = quant_conf == "int8"
-                if use_quant and use_dual:
+                if quant_conf == "auto":
+                    quant = "factored" if on_tpu else False
+                else:
+                    quant = False if quant_conf == "off" else quant_conf
+                if quant and use_dual:
                     print(
-                        "graph.dense.quant=int8 supersedes the dual kernel;"
-                        " using the quantized two-matmul path"
+                        f"graph.dense.quant={quant} supersedes the dual "
+                        "kernel; using the int8 two-matmul path"
                     )
                     use_dual = False
                 self._joint_adj = DenseJoint.from_interactions(
                     self.data,
                     dual=use_dual,
                     dual_interpret=not on_tpu,
-                    quant=use_quant,
+                    quant=quant,
                 )
             elif backend == "pallas" or (backend == "auto" and on_tpu):
                 # Past the dense budget, the one-hot MXU scatter kernel beats

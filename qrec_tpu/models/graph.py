@@ -19,7 +19,13 @@ import jax.numpy as jnp
 from ..data.graph import joint_bipartite_coo
 from ..ops import losses as L
 from ..ops.spmm import (
+    DenseJoint,
+    factored_edge_drop_view,
+    factored_node_drop_view,
+    factored_view_matmul,
+    join_consts,
     lightgcn_propagate,
+    split_consts,
     spmm,
     subgraph_vals,
     view_adjacency,
@@ -36,9 +42,16 @@ def _l2(x, w=None):
 
 class LightGCN(GraphRecommender):
     """K-layer linear propagation with layer-mean readout + BPR
-    (LightGCN.py:11-41)."""
+    (LightGCN.py:11-41).
+
+    The adjacency arrays ride ``TrainSpec.consts`` (jit arguments, see
+    ops/spmm.split_consts) so north-star-scale dense tables never embed in
+    the serialized HLO — this is what lets yelp-scale graphs stay on the
+    dense-MXU path under the axon tunnel instead of the gather-bound
+    sparse path."""
 
     track_best = False
+    threads_adj_consts = True
 
     def read_configuration(self):
         super().read_configuration()
@@ -46,11 +59,13 @@ class LightGCN(GraphRecommender):
         self.n_layers = args.get_int("-n_layer", 2) if args else 2
 
     def _encoder(self):
-        adj = self.joint_adj
+        adj_t, adj_c = split_consts(self.joint_adj)
+        self._adj_consts = {"adj": adj_c}
         nu = self.num_users
         n_layers = self.n_layers
 
-        def encode(params, vals=None):
+        def encode(params, consts, vals=None):
+            adj = join_consts(adj_t, consts["adj"])
             ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
             out = lightgcn_propagate(adj, ego, n_layers, vals)
             return out[:nu], out[nu:]
@@ -62,9 +77,9 @@ class LightGCN(GraphRecommender):
         encode = self._encoder()
         reg_u = self.reg_u
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            users, items = encode(params)
+            users, items = encode(params, consts)
             pu, qi, qj = users[u], items[i], items[j]
             pos = jnp.sum(pu * qi, axis=1)
             neg = jnp.sum(pu * qj, axis=1)
@@ -72,8 +87,8 @@ class LightGCN(GraphRecommender):
             reg = reg_u * (_l2(pu, w) + _l2(qi, w) + _l2(qj, w))
             return loss + reg
 
-        def score_params(params):
-            users, items = encode(params)
+        def score_params(params, consts):
+            users, items = encode(params, consts)
             return {"user_emb": users, "item_emb": items}
 
         return TrainSpec(
@@ -83,6 +98,7 @@ class LightGCN(GraphRecommender):
             mode="adam",
             track_best=self.track_best,
             score_params_fn=jax.jit(score_params),
+            consts=self._adj_consts,
         )
 
 
@@ -91,6 +107,7 @@ class NGCF(GraphRecommender):
     L2-normalized layer concat (NGCF.py:9-63)."""
 
     track_best = False
+    threads_adj_consts = True
     n_layers = 2  # fixed in the reference (NGCF.py:19)
     keep_prob = 0.9  # message dropout keep (NGCF.py:37)
 
@@ -103,12 +120,14 @@ class NGCF(GraphRecommender):
             rng, r1, r2 = jax.random.split(rng, 3)
             params[f"W_{k}_1"] = init(r1, (d, d), jnp.float32)
             params[f"W_{k}_2"] = init(r2, (d, d), jnp.float32)
-        adj = self.joint_adj
+        adj_t, adj_c = split_consts(self.joint_adj)
+        consts = {"adj": adj_c}
         nu = self.num_users
         n_layers, keep_prob = self.n_layers, self.keep_prob
         reg_u = self.reg_u
 
-        def encode(params, rng=None):
+        def encode(params, consts, rng=None):
+            adj = join_consts(adj_t, consts["adj"])
             ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
             layers = [ego]
             for k in range(n_layers):
@@ -133,9 +152,9 @@ class NGCF(GraphRecommender):
             out = jnp.concatenate(layers, axis=1)
             return out[:nu], out[nu:]
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            users, items = encode(params, rng)
+            users, items = encode(params, consts, rng)
             pu, qi, qj = users[u], items[i], items[j]
             pos = jnp.sum(pu * qi, axis=1)
             neg = jnp.sum(pu * qj, axis=1)
@@ -143,8 +162,8 @@ class NGCF(GraphRecommender):
             reg = reg_u * (_l2(pu, w) + _l2(qi, w) + _l2(qj, w))
             return loss + reg
 
-        def score_params(params):
-            users, items = encode(params, None)
+        def score_params(params, consts):
+            users, items = encode(params, consts, None)
             return {"user_emb": users, "item_emb": items}
 
         return TrainSpec(
@@ -154,12 +173,23 @@ class NGCF(GraphRecommender):
             mode="adam",
             track_best=self.track_best,
             score_params_fn=jax.jit(score_params),
+            consts=consts,
         )
 
 
 class SGL(GraphRecommender):
     """Self-supervised graph learning: LightGCN + contrastive node/edge-drop
-    views + merged-batch InfoNCE (SGL.py)."""
+    views + merged-batch InfoNCE (SGL.py).
+
+    View backends: on the factored dense adjacency (the TPU default) the
+    augmented views are MASKED FACTORED MATMULS — edge dropout is a dense
+    Bernoulli mask fused into the binary int8 tables, node dropout folds
+    into the renormalized scales with no materialization at all
+    (ops/spmm.factored_*_view) — so views ride the same MXU path as the
+    main propagation instead of the gather-bound sparse path. Non-dense
+    backends keep the per-edge masked-value COO/pallas path."""
+
+    threads_adj_consts = True
 
     def read_configuration(self):
         super().read_configuration()
@@ -172,11 +202,9 @@ class SGL(GraphRecommender):
 
     def build(self):
         params = self.init_embeddings("normal")
-        rows, cols, edge_ids, n_nodes = joint_bipartite_coo(self.data)
-        rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
-        edge_ids_d = jnp.asarray(edge_ids)
-        num_edges = int(edge_ids.max()) + 1 if len(edge_ids) else 0
-        adj = self.joint_adj
+        adj_full = self.joint_adj
+        adj_t, adj_c = split_consts(adj_full)
+        consts = {"adj": adj_c}
         nu = self.num_users
         n_layers = self.n_layers
         reg_u, ssl_reg, temp = self.reg_u, self.ssl_reg, self.ssl_temp
@@ -186,36 +214,72 @@ class SGL(GraphRecommender):
             self.config, 2 * self.batch_size, self.mesh
         )
         ssl_mesh = self.mesh
+        dense_views = (
+            isinstance(adj_full, DenseJoint) and adj_full.col_scale is not None
+        )
 
-        def view_vals(rng, layer):
-            # aug 2 (random walk) uses per-layer subgraphs; 0/1 one per view
-            key = jax.random.fold_in(rng, layer) if aug_type == 2 else rng
-            return subgraph_vals(
-                key, rows_d, cols_d, edge_ids_d, num_edges, n_nodes, nu,
-                drop_rate, aug_type,
+        if dense_views:
+            def encode_view(params, consts, rng):
+                adj = join_consts(adj_t, consts["adj"])
+                q8, q8_t = adj.q8, adj.q8_t
+                ego = jnp.concatenate(
+                    [params["user_emb"], params["item_emb"]]
+                )
+                acc, e = ego, ego
+                if aug_type == 0:
+                    view = factored_node_drop_view(rng, q8, q8_t, drop_rate)
+                else:
+                    view = factored_edge_drop_view(rng, q8, q8_t, drop_rate)
+                for k in range(n_layers):
+                    if aug_type == 2:
+                        # random-walk aug: fresh subgraph per layer
+                        view = factored_edge_drop_view(
+                            jax.random.fold_in(rng, k), q8, q8_t, drop_rate
+                        )
+                    e = factored_view_matmul(*view, e)
+                    acc = acc + e
+                out = acc / (n_layers + 1)
+                return out[:nu], out[nu:]
+        else:
+            rows, cols, edge_ids, n_nodes = joint_bipartite_coo(self.data)
+            rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
+            edge_ids_d = jnp.asarray(edge_ids)
+            num_edges = int(edge_ids.max()) + 1 if len(edge_ids) else 0
+
+            def view_vals(rng, layer):
+                # aug 2 (random walk) per-layer subgraphs; 0/1 one per view
+                key = jax.random.fold_in(rng, layer) if aug_type == 2 else rng
+                return subgraph_vals(
+                    key, rows_d, cols_d, edge_ids_d, num_edges, n_nodes, nu,
+                    drop_rate, aug_type,
+                )
+
+            # fixed symmetric structure, per-view values → pallas on TPU
+            view_adj = view_adjacency(
+                rows, cols, n_nodes, self.config, self.mesh
             )
 
-        # fixed symmetric structure, per-view values → pallas kernel on TPU
-        view_adj = view_adjacency(rows, cols, n_nodes, self.config, self.mesh)
+            def encode_view(params, consts, rng):
+                ego = jnp.concatenate(
+                    [params["user_emb"], params["item_emb"]]
+                )
+                acc, e = ego, ego
+                for k in range(n_layers):
+                    vals = view_vals(rng, k)
+                    e = spmm(view_adj, e, vals)
+                    acc = acc + e
+                out = acc / (n_layers + 1)
+                return out[:nu], out[nu:]
 
-        def encode_view(params, rng):
-            ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
-            acc, e = ego, ego
-            for k in range(n_layers):
-                vals = view_vals(rng, k)
-                e = spmm(view_adj, e, vals)
-                acc = acc + e
-            out = acc / (n_layers + 1)
-            return out[:nu], out[nu:]
-
-        def encode_main(params):
+        def encode_main(params, consts):
+            adj = join_consts(adj_t, consts["adj"])
             ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
             out = lightgcn_propagate(adj, ego, n_layers)
             return out[:nu], out[nu:]
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            users, items = encode_main(params)
+            users, items = encode_main(params, consts)
             pu, qi, qj = users[u], items[i], items[j]
             pos = jnp.sum(pu * qi, axis=1)
             neg = jnp.sum(pu * qj, axis=1)
@@ -223,8 +287,8 @@ class SGL(GraphRecommender):
                 _l2(pu, w) + _l2(qi, w) + _l2(qj, w)
             )
             r1, r2 = jax.random.split(rng)
-            s1u, s1i = encode_view(params, r1)
-            s2u, s2i = encode_view(params, r2)
+            s1u, s1i = encode_view(params, consts, r1)
+            s2u, s2i = encode_view(params, consts, r2)
             uu, um = L.unique_padded(u)
             iu, im = L.unique_padded(i)
             merge1 = jnp.concatenate([s1u[uu], s1i[iu]])
@@ -236,8 +300,8 @@ class SGL(GraphRecommender):
             )
             return rec + ssl
 
-        def score_params(params):
-            users, items = encode_main(params)
+        def score_params(params, consts):
+            users, items = encode_main(params, consts)
             return {"user_emb": users, "item_emb": items}
 
         return TrainSpec(
@@ -247,6 +311,7 @@ class SGL(GraphRecommender):
             mode="adam",
             track_best=True,
             score_params_fn=jax.jit(score_params),
+            consts=consts,
         )
 
 
@@ -255,6 +320,7 @@ class SimGCL(GraphRecommender):
     (SimGCL.py:22-111). Noise: e += sign(e) * ε * l2norm(U(0,1)) per layer."""
 
     cl_temp = 0.2  # hard-coded in the reference (SimGCL.py:74-77)
+    threads_adj_consts = True
 
     def read_configuration(self):
         super().read_configuration()
@@ -274,7 +340,8 @@ class SimGCL(GraphRecommender):
             "user_emb": init(r1, (self.num_users, self.emb_size), jnp.float32),
             "item_emb": init(r2, (self.num_items, self.emb_size), jnp.float32),
         }
-        adj = self.joint_adj
+        adj_t, adj_c = split_consts(self.joint_adj)
+        consts = {"adj": adj_c}
         nu = self.num_users
         n_layers = self.n_layers
         reg_u, cl_rate, eps, temp = self.reg_u, self.cl_rate, self.eps, self.cl_temp
@@ -283,9 +350,10 @@ class SimGCL(GraphRecommender):
         )
         ssl_mesh = self.mesh
 
-        def encode_main(params):
+        def encode_main(params, consts):
             # note: reference SimGCL's LightGCN_encoder averages the K
             # propagated layers WITHOUT the ego layer (SimGCL.py:22-28)
+            adj = join_consts(adj_t, consts["adj"])
             e = jnp.concatenate([params["user_emb"], params["item_emb"]])
             acc = 0
             for _ in range(n_layers):
@@ -301,7 +369,7 @@ class SimGCL(GraphRecommender):
             )
             return e + jnp.sign(e) * noise * eps
 
-        def encode_all(params, ra, rb):
+        def encode_all(params, consts, ra, rb):
             """Main + two perturbed encoders in ONE propagation stream.
 
             All three views propagate through the SAME adjacency, so each
@@ -313,6 +381,7 @@ class SimGCL(GraphRecommender):
             first noise injection (SimGCL.py:30-38). Per-view noise keys
             match the unfused encoders bit-for-bit.
             """
+            adj = join_consts(adj_t, consts["adj"])
             e0 = jnp.concatenate([params["user_emb"], params["item_emb"]])
             z = spmm(adj, e0)
             states = [z, _perturb(z, ra, 0), _perturb(z, rb, 0)]
@@ -326,11 +395,11 @@ class SimGCL(GraphRecommender):
             outs = [a / n_layers for a in accs]
             return [(o[:nu], o[nu:]) for o in outs]
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
             ra, rb = jax.random.split(rng)
             (users, items), (p1u, p1i), (p2u, p2i) = encode_all(
-                params, ra, rb
+                params, consts, ra, rb
             )
             pu, qi, qj = users[u], items[i], items[j]
             pos = jnp.sum(pu * qi, axis=1)
@@ -350,8 +419,8 @@ class SimGCL(GraphRecommender):
             )
             return rec + cl_rate * cl
 
-        def score_params(params):
-            users, items = encode_main(params)
+        def score_params(params, consts):
+            users, items = encode_main(params, consts)
             return {"user_emb": users, "item_emb": items}
 
         return TrainSpec(
@@ -361,4 +430,5 @@ class SimGCL(GraphRecommender):
             mode="adam",
             track_best=True,
             score_params_fn=jax.jit(score_params),
+            consts=consts,
         )

@@ -83,6 +83,17 @@ MODELS = {
     # shim — the measured TF baseline of BASELINE.md)
     "BPR": ("BPR.conf", LASTFM, 10800),
     "LightGCN": ("LightGCN.conf", LASTFM, 14400),
+    # deep TF family (VERDICT r4 #5): same tf1 graph vocabulary as
+    # BPR/LightGCN (placeholder/Adam/embedding_lookup + contrib shims)
+    "NeuMF": ("NeuMF.conf", LASTFM, 14400),
+    "DMF": ("DMF.conf", LASTFM, 14400),
+    "CDAE": ("CDAE.conf", LASTFM, 14400),
+    "APR": ("APR.conf", LASTFM, 14400),
+    "CFGAN": ("CFGAN.conf", LASTFM, 14400),
+    "IRGAN": ("IRGAN.conf", LASTFM, 14400),
+    # walk family (VERDICT r4 #9): unblocked by the GENSIM_SHIM below
+    "CUNE_BPR": ("CUNE_BPR.conf", LASTFM, 14400),
+    "IF_BPR": ("IF_BPR.conf", LASTFM, 21600),
 }
 
 # Per-model conf overrides applied to BOTH sides identically. The three SGD
@@ -174,6 +185,84 @@ def get_max_threads():
     return 8
 '''
 
+# gensim shim (VERDICT r4 #9): the reference's walk family (CUNE_BPR.py:9,
+# IF_BPR.py:8, RSGAN.py:8) needs only Word2Vec(walks, size, window,
+# min_count, iter) + .wv[word]. Pure-numpy vectorized SGNS — deliberately
+# jax-free so the oracle's reference process can never touch the TPU tunnel.
+GENSIM_SHIM = '''"""Minimal gensim.models.word2vec stand-in (generated by ref_oracle.py).
+
+Implements skip-gram with negative sampling over the given walks: the only
+surface the reference's walk family consumes (Word2Vec(...).wv[word]).
+"""
+import numpy as np
+
+
+class _KeyedVectors:
+    def __init__(self, vocab, vectors):
+        self._index = vocab
+        self._vectors = vectors
+
+    def __getitem__(self, word):
+        return self._vectors[self._index[word]]
+
+    def __contains__(self, word):
+        return word in self._index
+
+
+class Word2Vec:
+    def __init__(self, sentences, size=100, window=5, min_count=0, iter=3,
+                 negative=5, alpha=0.025, seed=1, **kwargs):
+        rng = np.random.RandomState(seed)
+        vocab = {}
+        ids = []
+        for sent in sentences:
+            row = []
+            for w in sent:
+                if w not in vocab:
+                    vocab[w] = len(vocab)
+                row.append(vocab[w])
+            ids.append(np.asarray(row, dtype=np.int64))
+        n_words = max(1, len(vocab))
+        centers, contexts = [], []
+        for row in ids:
+            L = len(row)
+            for off in range(1, window + 1):
+                if L > off:
+                    centers.append(row[:-off]); contexts.append(row[off:])
+                    centers.append(row[off:]); contexts.append(row[:-off])
+        if centers:
+            centers = np.concatenate(centers)
+            contexts = np.concatenate(contexts)
+        else:
+            centers = contexts = np.zeros(0, dtype=np.int64)
+        W_in = (rng.rand(n_words, size).astype(np.float32) - 0.5) / size
+        W_out = np.zeros((n_words, size), dtype=np.float32)
+        n = len(centers)
+        bs = 8192
+        for ep in range(max(1, iter)):
+            order = rng.permutation(n)
+            for s in range(0, n, bs):
+                idx = order[s:s + bs]
+                c, o = centers[idx], contexts[idx]
+                negs = rng.randint(0, n_words, size=(len(idx), negative))
+                vc = W_in[c]                      # (b, d)
+                vo = W_out[o]                     # (b, d)
+                vn = W_out[negs]                  # (b, k, d)
+                # gensim clips scores to +-MAX_EXP=6 via its sigmoid table
+                pos_x = np.clip(np.sum(vc * vo, axis=1), -6.0, 6.0)
+                neg_x = np.clip(np.einsum("bd,bkd->bk", vc, vn), -6.0, 6.0)
+                pos_s = 1.0 / (1.0 + np.exp(-pos_x))
+                neg_s = 1.0 / (1.0 + np.exp(-neg_x))
+                g_pos = (1.0 - pos_s)[:, None] * alpha      # (b, 1)
+                g_neg = -neg_s[:, :, None] * alpha          # (b, k, 1)
+                d_in = g_pos * vo + np.sum(g_neg * vn, axis=1)
+                np.add.at(W_out, o, g_pos * vc)
+                np.add.at(W_out, negs.ravel(),
+                          (g_neg * vc[:, None, :]).reshape(-1, W_out.shape[1]))
+                np.add.at(W_in, c, d_in)
+        self.wv = _KeyedVectors(vocab, W_in)
+'''
+
 
 def parse_conf(path):
     items = []
@@ -230,6 +319,13 @@ def setup():
         f.write(NUMBA_SHIM)
     with open(os.path.join(REFRUN, "mkl.py"), "w") as f:
         f.write(MKL_SHIM)
+    os.makedirs(os.path.join(REFRUN, "gensim/models"), exist_ok=True)
+    with open(os.path.join(REFRUN, "gensim/__init__.py"), "w") as f:
+        f.write("")
+    with open(os.path.join(REFRUN, "gensim/models/__init__.py"), "w") as f:
+        f.write("from . import word2vec\n")
+    with open(os.path.join(REFRUN, "gensim/models/word2vec.py"), "w") as f:
+        f.write(GENSIM_SHIM)
     with open(os.path.join(REFRUN, "run_ref.py"), "w") as f:
         f.write(RUN_REF_DRIVER)
     if not os.path.exists(os.path.join(PARITY_DATA, "lastfm_train.txt")):

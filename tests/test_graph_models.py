@@ -151,7 +151,7 @@ def test_simgcl_fused_views_match_unfused(tmp_path):
     rng = jax.random.PRNGKey(42)
     batches = spec.sampler(rng)
     batch = jax.tree_util.tree_map(lambda x: x[0], batches)
-    fused_loss = float(spec.loss_fn(params, batch, rng))
+    fused_loss = float(spec.loss_fn(params, batch, rng, spec.consts))
 
     # naive unfused reference computation (pre-fusion code path)
     def encode_main(params):
