@@ -686,26 +686,34 @@ _padded_spmm.defvjp(_padded_spmm_fwd, _padded_spmm_bwd)
 
 
 class ShardedPaddedCOO:
-    """Row-shard-partitioned PaddedCOO for propagation under a device mesh.
+    """Mesh-partitioned PaddedCOO for propagation under a device mesh.
 
     The round-2 gap this closes: every measured kernel win (the one-hot MXU
     scatter beats XLA segment_sum 4-17×, PARITY.md) was single-device only,
     so multi-chip runs silently fell back to the slow COO path. Here the
     symmetric joint adjacency (base/graphRecommender.py:10-29) is
-    partitioned by OUTPUT ROW SHARD on host — one PaddedCOO layout per mesh
-    device, padded to a common tile count and stacked on a leading device
-    axis — and ``A @ x`` runs as a ``shard_map``: x arrives replicated
-    (GSPMD inserts the all-gather over ICI), each device runs the
-    weighted-segment-matmul kernel over its own edge partition, and the
-    output is row-sharded across the mesh with no further collective (each
-    global row belongs to exactly one shard — the halo is entirely on the
-    input side).
+    partitioned by OUTPUT ROW SHARD on host — one PaddedCOO layout per
+    'data'-axis shard, padded to a common tile count and stacked on a
+    leading device axis — and ``A @ x`` runs as a ``shard_map``: each
+    device runs the weighted-segment-matmul kernel over its own edge
+    partition, and the output is row-sharded with no output-side collective
+    (each global row belongs to exactly one shard — the halo is entirely on
+    the input side).
+
+    2-D sharding (round 5, closes the comm-budget gap of VERDICT r4 #3):
+    on a ('data','model') mesh the propagation FEATURES are additionally
+    sharded over 'model' — each device owns its row shard at width d/m, x
+    arrives row-replicated but feature-SHARDED, so the per-application
+    all-gather moves N·d/m instead of the full N·d (the dominant collective
+    of the r4 budget: 187.5 of 241.7 MB/step at yelp shape). Chained layers
+    stay feature-sharded end to end; widths not divisible by the model-axis
+    size fall back to replicated features for that application.
 
     Backward: the matrix is symmetric, so ``dx = Aᵀ g = A g`` — the same
-    sharded kernel applied to the (row-sharded) cotangent. Per-edge value
-    cotangents (dropout-view training) use the stored global COO indices
-    outside the kernel: ``dvals[e] = g[rows[e]] · x[cols[e]]``, a gather +
-    rowwise dot that GSPMD partitions natively.
+    sharded kernel applied to the cotangent. Per-edge value cotangents
+    (dropout-view training) use the stored global COO indices outside the
+    kernel: ``dvals[e] = g[rows[e]] · x[cols[e]]``, a gather + rowwise dot
+    that GSPMD partitions natively.
 
     Not a pytree — held as a closure constant; arrays are committed to
     NamedShardings so jit keeps the partitioned placement.
@@ -726,8 +734,19 @@ class ShardedPaddedCOO:
         self.num_cols = n_cols
         self.row_block = row_block
         self.interpret = interpret
-        self.axes = tuple(mesh.axis_names)
-        n_shards = int(np.prod(mesh.devices.shape))
+        names = tuple(mesh.axis_names)
+        if "data" in names and "model" in names and mesh.shape["model"] > 1:
+            # rows over 'data', features over 'model'
+            self.row_axes = ("data",)
+            self.feat_axis = "model"
+            self.feat_shards = int(mesh.shape["model"])
+            n_shards = int(mesh.shape["data"])
+        else:
+            self.row_axes = names
+            self.feat_axis = None
+            self.feat_shards = 1
+            n_shards = int(np.prod(mesh.devices.shape))
+        self.axes = self.row_axes
         self.n_shards = n_shards
         rps = -(-n_rows // n_shards)
         rps = -(-rps // row_block) * row_block  # multiple of row_block
@@ -821,6 +840,14 @@ class ShardedPaddedCOO:
         row_block = self.row_block
         num_blocks = self.num_blocks_local
         interpret = self.interpret
+        # feature sharding over 'model' when the width divides evenly —
+        # the input-side collective then moves N·d/m instead of N·d
+        feat = (
+            self.feat_axis
+            if self.feat_axis is not None
+            and x.shape[1] % self.feat_shards == 0
+            else None
+        )
 
         def local(cols, rows_local, vblk, block_ids, is_first, x_rep):
             gathered = x_rep.astype(jnp.bfloat16)[cols[0]]
@@ -833,7 +860,7 @@ class ShardedPaddedCOO:
                 row_block,
                 num_blocks,
                 interpret=interpret,
-            )  # (rows_per_shard, d)
+            )  # (rows_per_shard, d_local)
 
         y = shard_map(
             local,
@@ -844,9 +871,11 @@ class ShardedPaddedCOO:
                 P(self.axes, None, None),
                 P(self.axes, None),
                 P(self.axes, None),
-                P(None, None),  # x replicated: GSPMD all-gathers over ICI
+                # x row-replicated (GSPMD all-gathers over ICI), features
+                # sharded over 'model' when divisible
+                P(None, feat),
             ),
-            out_specs=P(self.axes, None),
+            out_specs=P(self.axes, feat),
             # pallas_call can't annotate varying-mesh-axes metadata on its
             # out_shape; the specs above fully pin the placement
             check_vma=False,

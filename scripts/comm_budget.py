@@ -83,13 +83,18 @@ def child(n_dev, yelp=False):
         batches = spec.sampler(jax.random.PRNGKey(0))
         _, batches = model._place(None, batches)
         one = jax.tree_util.tree_map(lambda x: x[0], batches)
+        cargs = () if spec.consts is None else (spec.consts,)
 
-        def step(params, opt_state, batch, rng):
-            loss, grads = jax.value_and_grad(spec.loss_fn)(params, batch, rng)
+        def step(params, opt_state, batch, rng, *c):
+            loss, grads = jax.value_and_grad(spec.loss_fn)(
+                params, batch, rng, *c
+            )
             upd, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, upd), opt_state, loss
 
-        lowered = jax.jit(step).lower(params, opt_state, one, jax.random.PRNGKey(1))
+        lowered = jax.jit(step).lower(
+            params, opt_state, one, jax.random.PRNGKey(1), *cargs
+        )
         return lowered.compile().as_text()
 
     cases = (
@@ -97,8 +102,13 @@ def child(n_dev, yelp=False):
         ("LightGCN", "pallas", "lightgcn_sharded_pallas"),
         ("SimGCL", "coo", "simgcl_infonce"),
     )
-    if yelp:  # the pallas backend is what auto selects at this scale
-        cases = (("LightGCN", "pallas", "lightgcn_sharded_pallas"),)
+    if yelp:
+        # pallas = the 2-D ShardedPaddedCOO kernel; auto now resolves to the
+        # dense factored path at this scale (consts-threaded, r5)
+        cases = (
+            ("LightGCN", "pallas", "lightgcn_sharded_pallas"),
+            ("LightGCN", "auto", "lightgcn_dense_auto"),
+        )
     for name, backend, key in cases:
         conf, data = build_problem({
             "model.name": name,
