@@ -155,7 +155,8 @@ def time_epochs(model, spec, n_epochs, device=None):
 
 def time_epochs_chunked(model, spec, chunk=8, reps=3):
     """Steady-state per-epoch time of the chunked runner (the trainer's
-    default dispatch path when no host hook needs per-epoch state)."""
+    default dispatch path when no host hook needs per-epoch state),
+    with buffer donation like the real training loop."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -163,7 +164,10 @@ def time_epochs_chunked(model, spec, chunk=8, reps=3):
     from qrec_tpu.runtime.trainer import make_chunk_runner
 
     optimizer = optax.adam(model.lrate)
-    run_chunk = make_chunk_runner(spec.loss_fn, optimizer, spec.sampler)
+    run_chunk = make_chunk_runner(
+        spec.loss_fn, optimizer, spec.sampler,
+        donate=jax.default_backend() == "tpu",
+    )
     params = spec.params
     cargs = _cargs(spec)
     opt_state = optimizer.init(params)

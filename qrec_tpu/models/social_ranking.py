@@ -70,7 +70,18 @@ class SBPR(SocialRecommender):
         return fp.tocsr()
 
     def build(self):
-        params = self.init_embeddings("uniform")
+        # The reference's TF path (the shipped conf's -tf — its numpy path
+        # crashes upstream, see PARITY.md) differs structurally from a
+        # faithful SBPR: truncated-normal init (iterativeRecommender.py:47),
+        # sequential unshuffled batches, a RANDOM middle item with weight 0
+        # for users without friend items (SBPR.py:98-100), log(σ(x)+1e-6),
+        # and — upstream bug — NO regularization: SBPR.py:122-123 puts the
+        # reg term on its own line after the loss statement, so the `+`
+        # expression is dead. All mirrored here under -tf; the non-tf path
+        # keeps the faithful-SBPR interpretation (touched-row reg, plain-BPR
+        # fallback for social-cold users).
+        tf_path = self.eval_settings.contains("-tf")
+        params = self.init_embeddings("normal" if tf_path else "uniform")
         fp = self._friend_items()
         fp_indptr, fp_indices, fp_vals = map(jnp.asarray, _csr_table(fp))
         ta = self.train_arrays
@@ -89,8 +100,12 @@ class SBPR(SocialRecommender):
 
         @jax.jit
         def sampler(rng):
-            r_perm, r_fp, r_neg = jax.random.split(rng, 3)
-            perm = jax.random.permutation(r_perm, n)
+            r_perm, r_fp, r_neg, r_rand = jax.random.split(rng, 4)
+            perm = (
+                jnp.arange(n, dtype=jnp.int32)
+                if tf_path
+                else jax.random.permutation(r_perm, n)
+            )
             pad = jnp.concatenate([perm, jnp.zeros(padded - n, dtype=perm.dtype)])
             users = ta["u"][pad]
             pos = ta["i"][pad]
@@ -98,6 +113,13 @@ class SBPR(SocialRecommender):
             k_items, has_fp, idx = _sample_from_rows(
                 r_fp, fp_indptr, fp_indices, users
             )
+            if tf_path:
+                # ref: f_item = choice(item_list) with weight 0 when the
+                # user has no friend items (SBPR.py:98-100)
+                rand_k = jax.random.randint(
+                    r_rand, users.shape, 0, num_items, dtype=jnp.int32
+                )
+                k_items = jnp.where(has_fp, k_items, rand_k)
             suk = jnp.where(has_fp, fp_vals[idx], 0.0)
             # negative: not a positive and not a friend item — rejection
             # against both CSRs with exact fallback on the rating CSR
@@ -137,6 +159,15 @@ class SBPR(SocialRecommender):
             yj = jnp.sum(pu * qj, axis=1)
             y_ik = (yi - yk) / (suk + 1.0)
             y_kj = yk - yj
+            if tf_path:
+                # every row goes through the two-tier chain with the random
+                # middle when social-cold; NO reg (SBPR.py:118-123)
+                return -jnp.sum(
+                    w * (
+                        jnp.log(jax.nn.sigmoid(y_ik) + 1e-6)
+                        + jnp.log(jax.nn.sigmoid(y_kj) + 1e-6)
+                    )
+                )
             has = has_fp.astype(jnp.float32) * w
             # users without friend items fall back to plain BPR i ≻ j
             plain = (1.0 - has_fp.astype(jnp.float32)) * w

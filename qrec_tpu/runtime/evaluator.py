@@ -81,6 +81,14 @@ def eval_ranking(model, data, conf, fold="[1]", log=None) -> List[str]:
         and type(model).score_fn_params is _RecBase.score_fn_params
         and hasattr(model, "rated_bitmask")
     )
+    if backend_wants_pallas and not use_pallas:
+        # explicit-choice override notice (matches the dual-kernel VMEM
+        # fallback style): the request is honored only under a mesh with a
+        # plain-embedding scorer
+        print(
+            "eval.backend=pallas is mesh-only (single-chip dispatch retired "
+            "round 4 — see runtime/evaluator.py); using the XLA ranker"
+        )
     if use_pallas:
         from ..ops.topk import pallas_catalog_topk
 

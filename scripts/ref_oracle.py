@@ -134,6 +134,8 @@ def install_tf1_shim():
         l2_regularizer=lambda scale: (lambda w: scale * tf1.nn.l2_loss(w)),
     )
     tf1.contrib = types.SimpleNamespace(layers=layers)
+    if not hasattr(tf1, "float"):
+        tf1.float = tf1.float32  # DMF.py:51 uses the ancient tf.float alias
     sys.modules["tensorflow"] = tf1
     return tf1
 

@@ -309,26 +309,40 @@ def test_joint_adj_auto_respects_axon_embed_budget(
 ):
     """Under the axon remote-compile tunnel, auto must not pick a dense
     adjacency whose embedded constant would 413 the compile request
-    (models/base.py AXON_EMBED_LIMIT guard); explicit graph.dense.limit
-    re-enables it."""
+    (models/base.py AXON_EMBED_LIMIT guard) — but ONLY for models that
+    close over the adjacency. Consts-threading models (LightGCN et al.,
+    threads_adj_consts=True) pass it as a jit argument, so the guard does
+    not apply to them (round 5). Explicit graph.dense.limit re-enables
+    dense for closure models too."""
     import jax
 
     import qrec_tpu.ops.spmm as spmm_mod
     from qrec_tpu.models.graph import LightGCN
     from qrec_tpu.ops.spmm import DenseJoint, PaddedCOO
 
+    class ClosureLightGCN(LightGCN):
+        threads_adj_consts = False
+
     tiny_conf.config["LightGCN"] = "-n_layer 2"
     tiny_conf.config["parallel.setup"] = "off"
-    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    # the guard keys off the RESOLVED platform (config override aware, not
+    # the raw env var — ADVICE r4); mock it to 'axon'
+    import qrec_tpu.models.base as base_mod
+
+    monkeypatch.setattr(base_mod, "resolved_platform", lambda: "axon")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     monkeypatch.setattr(spmm_mod, "AXON_EMBED_LIMIT", 0)
-    m = LightGCN(tiny_conf, tiny_data)
+    m = ClosureLightGCN(tiny_conf, tiny_data)
     assert isinstance(m.joint_adj, PaddedCOO)  # guard excluded dense
 
-    # explicit graph.dense.limit overrides the tunnel guard
-    tiny_conf.config["graph.dense.limit"] = str(10**9)
+    # consts-threading model: tables are jit args, guard does not apply
     m = LightGCN(tiny_conf, tiny_data)
+    assert isinstance(m.joint_adj, DenseJoint)
+
+    # explicit graph.dense.limit overrides the tunnel guard for closures
+    tiny_conf.config["graph.dense.limit"] = str(10**9)
+    m = ClosureLightGCN(tiny_conf, tiny_data)
     assert isinstance(m.joint_adj, DenseJoint)
 
 
@@ -379,3 +393,109 @@ def test_densemat_matches_coo():
     np.testing.assert_allclose(
         np.asarray(dense), np.asarray(coo), rtol=1e-2, atol=1e-2
     )
+
+
+def test_factored_int8_exact_matches_coo(tiny_data):
+    """graph.dense.quant=factored is EXACT: binary R in int8 with
+    deg^-1/2 row/col scales — forward within bf16-activation tolerance of
+    the f32 COO result (NO quantization error term), symmetric VJP."""
+    from qrec_tpu.ops.spmm import DenseJoint
+
+    coo = joint_normalized_adjacency(tiny_data)
+    dev = DeviceCOO.from_host(coo)
+    q = DenseJoint.from_interactions(tiny_data, quant="factored")
+    assert q.q8 is not None and q.col_scale is not None
+    n = tiny_data.num_users + tiny_data.num_items
+    e = np.random.RandomState(2).randn(n, 8).astype(np.float32)
+    out_coo = np.asarray(spmm(dev, jnp.asarray(e)))
+    out_q = np.asarray(spmm(q, jnp.asarray(e)))
+    # only bf16 activation rounding — tighter class than lossy int8
+    assert np.allclose(out_coo, out_q, rtol=1e-2, atol=1e-2)
+    w = np.random.RandomState(3).randn(n, 8).astype(np.float32)
+    g = jax.grad(lambda x: jnp.sum(jnp.asarray(w) * spmm(q, x)))(jnp.asarray(e))
+    expect = np.asarray(spmm(q, jnp.asarray(w)))
+    assert np.allclose(np.asarray(g), expect, rtol=1e-3, atol=1e-3)
+
+
+def test_factored_edge_drop_view_consistency(tiny_data):
+    """The dense edge-dropout view must (a) produce EXACTLY transposed
+    masked tables from the dual-orientation pair hash (no transpose op),
+    (b) renormalize by kept degrees identically to the COO machinery
+    (renormalize_vals) on the same kept-edge set, (c) keep ≈ (1-p) of the
+    cells."""
+    from qrec_tpu.data.graph import joint_bipartite_coo
+    from qrec_tpu.ops.spmm import (
+        DenseJoint,
+        factored_edge_drop_view,
+        factored_view_matmul,
+        renormalize_vals,
+    )
+
+    q = DenseJoint.from_interactions(tiny_data, quant="factored")
+    rng = jax.random.PRNGKey(5)
+    q8v, q8v_t, su, si = factored_edge_drop_view(rng, q.q8, q.q8_t, 0.4)
+    assert np.array_equal(np.asarray(q8v).T, np.asarray(q8v_t))
+    kept = np.asarray(q8v).sum() / max(1, np.asarray(q.q8).sum())
+    assert 0.3 < kept < 0.9  # ~0.6 expected on a tiny graph
+
+    # COO cross-check: same kept edges → same renormalized propagation
+    rows, cols, edge_ids, n_nodes = joint_bipartite_coo(tiny_data)
+    nu = tiny_data.num_users
+    mask = np.asarray(q8v) > 0
+    keep_e = np.array(
+        [
+            mask[r, c - nu] if r < nu else mask[c, r - nu]
+            for r, c in zip(rows, cols)
+        ],
+        dtype=np.float32,
+    )
+    vals = renormalize_vals(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(keep_e), n_nodes
+    )
+    dev = DeviceCOO(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(keep_e), n_nodes, n_nodes
+    )
+    e = np.random.RandomState(4).randn(n_nodes, 8).astype(np.float32)
+    out_coo = np.asarray(spmm(dev, jnp.asarray(e), jnp.asarray(vals)))
+    out_dense = np.asarray(factored_view_matmul(q8v, q8v_t, su, si, jnp.asarray(e)))
+    assert np.allclose(out_coo, out_dense, rtol=1e-2, atol=1e-2)
+
+
+def test_factored_node_drop_view_consistency(tiny_data):
+    """Node dropout folds entirely into the renormalized scales: the masked
+    propagation equals the COO subgraph (keep = ku[u]&ki[i]) renormalized
+    propagation, with NO masked table materialized (same q8 objects)."""
+    from qrec_tpu.data.graph import joint_bipartite_coo
+    from qrec_tpu.ops.spmm import (
+        DenseJoint,
+        factored_node_drop_view,
+        factored_view_matmul,
+        renormalize_vals,
+    )
+
+    q = DenseJoint.from_interactions(tiny_data, quant="factored")
+    rng = jax.random.PRNGKey(9)
+    q8v, q8v_t, su, si = factored_node_drop_view(rng, q.q8, q.q8_t, 0.3)
+    assert q8v is q.q8 and q8v_t is q.q8_t  # no materialization
+    ku = np.asarray(
+        jax.random.bernoulli(rng, 0.7, (tiny_data.num_users,))
+    )
+    ki = np.asarray(
+        jax.random.bernoulli(
+            jax.random.fold_in(rng, 1), 0.7, (tiny_data.num_items,)
+        )
+    )
+    rows, cols, edge_ids, n_nodes = joint_bipartite_coo(tiny_data)
+    nu = tiny_data.num_users
+    keep_node = np.concatenate([ku, ki])
+    keep_e = (keep_node[rows] & keep_node[cols]).astype(np.float32)
+    vals = renormalize_vals(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(keep_e), n_nodes
+    )
+    dev = DeviceCOO(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(keep_e), n_nodes, n_nodes
+    )
+    e = np.random.RandomState(4).randn(n_nodes, 8).astype(np.float32)
+    out_coo = np.asarray(spmm(dev, jnp.asarray(e), jnp.asarray(vals)))
+    out_dense = np.asarray(factored_view_matmul(q8v, q8v_t, su, si, jnp.asarray(e)))
+    assert np.allclose(out_coo, out_dense, rtol=1e-2, atol=1e-2)
