@@ -129,8 +129,14 @@ def install_tf1_shim():
     import tensorflow.compat.v1 as tf1
     tf1.disable_v2_behavior()
     tf1.disable_eager_execution()
+    def xavier_initializer(**kw):
+        init = tf1.glorot_uniform_initializer()
+        # DMF.py:58 passes stddev= to the returned callable; tf.contrib's
+        # variance-scaling initializers tolerated extra kwargs
+        return lambda shape, dtype=None, **extra: init(shape, dtype)
+
     layers = types.SimpleNamespace(
-        xavier_initializer=lambda **kw: tf1.glorot_uniform_initializer(),
+        xavier_initializer=xavier_initializer,
         l2_regularizer=lambda scale: (lambda w: scale * tf1.nn.l2_loss(w)),
     )
     tf1.contrib = types.SimpleNamespace(layers=layers)

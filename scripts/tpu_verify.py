@@ -143,7 +143,9 @@ def quality_runs():
     from qrec_tpu.ops.metrics import parse_measure
 
     results = {}
-    for name, epochs in (("BPR", 100), ("LightGCN", 120), ("SimGCL", 50)):
+    for name, epochs in (
+        ("BPR", 100), ("LightGCN", 120), ("SimGCL", 50), ("SGL", 50)
+    ):
         conf = ModelConf(f"config/{name}.conf")
         conf.config["num.max.epoch"] = str(epochs)
         conf.config["output.setup"] = "off -dir ./results/"
