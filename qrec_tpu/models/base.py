@@ -265,8 +265,29 @@ class IterativeRecommender(Recommender):
             )
         return self._rated_bitmask
 
-    def pairwise_sampler(self, num_tries: int = 8, shuffle: bool = True) -> Callable:
+    def _auto_tries(self) -> int:
+        """Smallest rejection-round count whose EXPECTED whole-epoch failure
+        count stays below 1e-2 — then the exact-fallback lax.cond branch
+        (which re-derives every negative by bisection when ANY round fails)
+        essentially never executes. Measured on TPU (lastfm, LightGCN
+        epoch): 8 rounds 21.3 ms, 4 rounds 18.3 ms, 2 rounds 40.9 ms (the
+        fallback fires) — the per-sample failure probability is
+        (deg_u/num_items)^t, so the optimum depends on the dataset's
+        density, computed exactly here."""
+        if not self.train_size:
+            return 4
+        deg = np.diff(self.data.u_indptr).astype(np.float64)
+        ratio = deg / max(self.num_items, 1)
+        for t in (4, 6, 8, 12):
+            if float(np.sum(deg * ratio**t)) < 1e-2:
+                return t
+        return 16
+
+    def pairwise_sampler(self, num_tries: Optional[int] = None,
+                         shuffle: bool = True) -> Callable:
         """rng -> (users, pos, neg, weight) batched epoch tensors."""
+        if num_tries is None:
+            num_tries = self._auto_tries()
         ta = self.train_arrays
         row_iters = sampling._bisect_iters(
             int(np.max(np.diff(self.data.u_indptr))) if self.train_size else 1
@@ -290,7 +311,10 @@ class IterativeRecommender(Recommender):
 
         return sampler
 
-    def pointwise_sampler(self, num_negatives: int = 4, num_tries: int = 8) -> Callable:
+    def pointwise_sampler(self, num_negatives: int = 4,
+                          num_tries: Optional[int] = None) -> Callable:
+        if num_tries is None:
+            num_tries = self._auto_tries()
         ta = self.train_arrays
         row_iters = sampling._bisect_iters(
             int(np.max(np.diff(self.data.u_indptr))) if self.train_size else 1
