@@ -24,11 +24,30 @@ from ..ops import losses as L
 from ..ops.spmm import (
     DenseMat,
     DeviceCOO,
+    join_consts,
     lightgcn_propagate,
     renormalize_vals,
+    split_consts,
     spmm,
     view_adjacency,
 )
+
+
+def _split_mats(mats: dict):
+    """Split a dict of adjacency backends into (templates, consts) for
+    jit-argument threading (TrainSpec.consts — ops/spmm.split_consts):
+    dense/COO arrays become runner arguments instead of HLO constants, so
+    north-star-scale aux matrices survive the axon tunnel's embedded-
+    constant cap. Rejoin inside traced code with ``_join(templates,
+    consts, key)``."""
+    templates, consts = {}, {}
+    for k, v in mats.items():
+        templates[k], consts[k] = split_consts(v)
+    return templates, consts
+
+
+def _join(templates: dict, consts: dict, k: str):
+    return join_consts(templates[k], consts[k])
 from .base import GraphRecommender, SocialRecommender, TrainSpec
 
 
@@ -331,7 +350,11 @@ class MHCN(SocialRecommender, GraphRecommender):
             mixed = sum(score[:, i : i + 1] * chans[i] for i in range(len(chans)))
             return mixed, score
 
-        def encode(params):
+        templates, consts = _split_mats(
+            {"h_s": h_s, "h_j": h_j, "h_p": h_p, "r": r_dev, "rt": rt_dev}
+        )
+
+        def encode(params, consts):
             u1 = gate(params, params["user_emb"], 0)
             u2 = gate(params, params["user_emb"], 1)
             u3 = gate(params, params["user_emb"], 2)
@@ -340,15 +363,15 @@ class MHCN(SocialRecommender, GraphRecommender):
             acc1, acc2, acc3, acc_s, acc_i = u1, u2, u3, simple, items
             for _ in range(n_layers):
                 mixed = attention(params, u1, u2, u3)[0] + simple / 2
-                u1 = spmm(h_s, u1)
+                u1 = spmm(_join(templates, consts, "h_s"), u1)
                 acc1 = acc1 + _l2n(u1)
-                u2 = spmm(h_j, u2)
+                u2 = spmm(_join(templates, consts, "h_j"), u2)
                 acc2 = acc2 + _l2n(u2)
-                u3 = spmm(h_p, u3)
+                u3 = spmm(_join(templates, consts, "h_p"), u3)
                 acc3 = acc3 + _l2n(u3)
-                new_items = spmm(rt_dev, mixed)
+                new_items = spmm(_join(templates, consts, "rt"), mixed)
                 acc_i = acc_i + _l2n(new_items)
-                simple = spmm(r_dev, items)
+                simple = spmm(_join(templates, consts, "r"), items)
                 acc_s = acc_s + _l2n(simple)
                 items = new_items
             final_u, _ = attention(params, acc1, acc2, acc3)
@@ -366,9 +389,9 @@ class MHCN(SocialRecommender, GraphRecommender):
             + ["attention", "attention_mat"]
         )
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            users, items = encode(params)
+            users, items = encode(params, consts)
             pu, qi, qj = users[u], items[i], items[j]
             pos = jnp.sum(pu * qi, axis=1)
             neg = jnp.sum(pu * qj, axis=1)
@@ -377,14 +400,23 @@ class MHCN(SocialRecommender, GraphRecommender):
             reg = reg + reg_u * (_l2(params["user_emb"]) + _l2(params["item_emb"]))
             rs = jax.random.split(rng, 3)
             ss = (
-                ss_loss_channel(rs[0], gate(params, users, 0, "s"), h_s)
-                + ss_loss_channel(rs[1], gate(params, users, 1, "s"), h_j)
-                + ss_loss_channel(rs[2], gate(params, users, 2, "s"), h_p)
+                ss_loss_channel(
+                    rs[0], gate(params, users, 0, "s"),
+                    _join(templates, consts, "h_s"),
+                )
+                + ss_loss_channel(
+                    rs[1], gate(params, users, 1, "s"),
+                    _join(templates, consts, "h_j"),
+                )
+                + ss_loss_channel(
+                    rs[2], gate(params, users, 2, "s"),
+                    _join(templates, consts, "h_p"),
+                )
             )
             return rec + reg + ss_rate * ss
 
-        def score_params(params):
-            users, items = encode(params)
+        def score_params(params, consts):
+            users, items = encode(params, consts)
             return {"user_emb": users, "item_emb": items}
 
         return TrainSpec(
@@ -394,12 +426,15 @@ class MHCN(SocialRecommender, GraphRecommender):
             mode="adam",
             track_best=True,
             score_params_fn=jax.jit(score_params),
+            consts=consts,
         )
 
 
 class SEPT(SocialRecommender, GraphRecommender):
     """Tri-view social SSL with pseudo-label neighbor discrimination
     (SEPT.py). Warm-up on the rec task for maxEpoch/3, then joint training."""
+
+    threads_adj_consts = True
 
     def read_configuration(self):
         super().read_configuration()
@@ -454,7 +489,10 @@ class SEPT(SocialRecommender, GraphRecommender):
         social_dev, sharing_dev = (
             _dev(m, budget, aux_mode) for m in self._views()
         )
-        adj = self.joint_adj
+        templates, consts = _split_mats({
+            "social": social_dev, "sharing": sharing_dev,
+            "adj": self.joint_adj,
+        })
         c_rows, c_cols, c_ids, n_groups, n_nodes = self._combined_graph()
         rng0 = jax.random.PRNGKey(self.seed)
         r1, r2 = jax.random.split(rng0)
@@ -472,18 +510,18 @@ class SEPT(SocialRecommender, GraphRecommender):
         reg_u, ss_rate = self.reg_u, self.ss_rate
         drop_rate, ins_cnt = self.drop_rate, self.instance_cnt
 
-        def encode_views(params):
+        def encode_views(params, consts):
             friend = params["user_emb"]
             share = params["user_emb"]
             acc_f, acc_s = friend, share
             ego = jnp.concatenate([params["user_emb"], params["item_emb"]])
             acc_e = ego
             for _ in range(n_layers):
-                friend = spmm(social_dev, friend)
+                friend = spmm(_join(templates, consts, "social"), friend)
                 acc_f = acc_f + _l2n(friend)
-                share = spmm(sharing_dev, share)
+                share = spmm(_join(templates, consts, "sharing"), share)
                 acc_s = acc_s + _l2n(share)
-                ego = spmm(adj, ego)
+                ego = spmm(_join(templates, consts, "adj"), ego)
                 acc_e = acc_e + _l2n(ego)
             return acc_f, acc_s, acc_e[:nu], acc_e[nu:]
 
@@ -502,9 +540,9 @@ class SEPT(SocialRecommender, GraphRecommender):
                 acc = acc + _l2n(e)
             return acc[:nu]
 
-        def rec_loss_fn(params, batch, rng):
+        def rec_loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            _, _, users, items = encode_views(params)
+            _, _, users, items = encode_views(params, consts)
             pu, qi, qj = users[u], items[i], items[j]
             rec = L.bpr_loss(
                 jnp.sum(pu * qi, axis=1), jnp.sum(pu * qj, axis=1), w
@@ -513,9 +551,9 @@ class SEPT(SocialRecommender, GraphRecommender):
                 _l2(params["user_emb"]) + _l2(params["item_emb"])
             )
 
-        def joint_loss_fn(params, batch, rng):
+        def joint_loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            friend, share, users, items = encode_views(params)
+            friend, share, users, items = encode_views(params, consts)
             pu, qi, qj = users[u], items[i], items[j]
             rec = L.bpr_loss(
                 jnp.sum(pu * qi, axis=1), jnp.sum(pu * qj, axis=1), w
@@ -540,8 +578,8 @@ class SEPT(SocialRecommender, GraphRecommender):
             )
             return rec + ss_rate * ssl
 
-        def score_params(params):
-            _, _, users, items = encode_views(params)
+        def score_params(params, consts):
+            _, _, users, items = encode_views(params, consts)
             return {"user_emb": users, "item_emb": items}
 
         warm = max(1, int(self.max_epoch / 3))
@@ -556,15 +594,15 @@ class SEPT(SocialRecommender, GraphRecommender):
         params = self.run_training(
             params, rec_loss_fn, sampler, mode="adam", track_best=True,
             score_params_fn=jax.jit(score_params), max_epoch=warm,
-            tracker=tracker, return_best=False,
+            tracker=tracker, return_best=False, consts=consts,
         )
         params = self.run_training(
             params, joint_loss_fn, sampler, mode="adam", track_best=True,
             score_params_fn=jax.jit(score_params),
             max_epoch=max(1, self.max_epoch - warm),
-            tracker=tracker,
+            tracker=tracker, consts=consts,
         )
-        final = jax.jit(score_params)(params)
+        final = jax.jit(score_params)(params, consts)
         self.U, self.V = final["user_emb"], final["item_emb"]
 
 
@@ -572,6 +610,8 @@ class BUIR(GraphRecommender):
     """BYOL-style online/target LightGCN encoders over dropout subgraphs with
     momentum target updates and symmetric cosine-stop-gradient loss
     (BUIR.py)."""
+
+    threads_adj_consts = True
 
     def read_configuration(self):
         super().read_configuration()
@@ -585,7 +625,7 @@ class BUIR(GraphRecommender):
         rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
         ids_d = jnp.asarray(edge_ids)
         n_edges = int(edge_ids.max()) + 1 if len(edge_ids) else 0
-        adj = self.joint_adj
+        adj_t, adj_c = split_consts(self.joint_adj)
         d = self.emb_size
         ks = jax.random.split(jax.random.PRNGKey(self.seed), 4)
         params = {
@@ -670,13 +710,13 @@ class BUIR(GraphRecommender):
                 )
 
         @jax.jit
-        def final_embeddings(params):
+        def final_embeddings(params, adj_c):
             e = jnp.concatenate([params["user_emb"], params["item_emb"]])
-            online = lightgcn_propagate(adj, e, n_layers)
+            online = lightgcn_propagate(join_consts(adj_t, adj_c), e, n_layers)
             q = linear(params, online)
             return online[:nu], online[nu:], q[:nu], q[nu:]
 
-        o_u, o_i, q_u, q_i = final_embeddings(params)
+        o_u, o_i, q_u, q_i = final_embeddings(params, adj_c)
         # score = q_i·o_u + o_i·q_u (BUIR.py:175-179) — fold into a single
         # concatenated embedding pair so the standard ranker applies
         self.U = jnp.concatenate([o_u, q_u], axis=1)
@@ -718,19 +758,22 @@ class DiffNet(SocialRecommender, GraphRecommender):
             params[f"W{k}"] = _xavier(ks[k], (2 * d, d))
         n_layers = self.n_layers
         reg_u = self.reg_u
+        templates, consts = _split_mats({"s": s_dev, "a": a_dev})
 
-        def encode(params):
+        def encode(params, consts):
             u = params["user_emb"]
             for k in range(n_layers):
-                nu_emb = spmm(s_dev, u)
+                nu_emb = spmm(_join(templates, consts, "s"), u)
                 u = jax.nn.relu(
                     jnp.concatenate([nu_emb, u], axis=1) @ params[f"W{k}"]
                 )
-            return u + spmm(a_dev, params["item_emb"])
+            return u + spmm(
+                _join(templates, consts, "a"), params["item_emb"]
+            )
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            users = encode(params)
+            users = encode(params, consts)
             pu = users[u]
             qi = params["item_emb"][i]
             qj = params["item_emb"][j]
@@ -741,8 +784,11 @@ class DiffNet(SocialRecommender, GraphRecommender):
             )
             return loss + reg
 
-        def score_params(params):
-            return {"user_emb": encode(params), "item_emb": params["item_emb"]}
+        def score_params(params, consts):
+            return {
+                "user_emb": encode(params, consts),
+                "item_emb": params["item_emb"],
+            }
 
         return TrainSpec(
             params,
@@ -751,6 +797,7 @@ class DiffNet(SocialRecommender, GraphRecommender):
             mode="adam",
             track_best=False,
             score_params_fn=jax.jit(score_params),
+            consts=consts,
         )
 
 
@@ -793,14 +840,16 @@ class DHCF(GraphRecommender):
             params[f"layer{k}"] = _xavier(ks[k], (d, d))
         n_layers = self.n_layers
         reg_u = self.reg_u
+        templates, consts = _split_mats({"a_u": a_u, "a_i": a_i})
 
-        def encode(params, rng=None):
+        def encode(params, consts, rng=None):
             u = params["user_emb"]
             v = params["item_emb"]
             all_u, all_v = [u], [v]
             for k in range(n_layers):
-                new_u = spmm(a_u, params["user_emb"])  # always base embeddings
-                new_v = spmm(a_i, params["item_emb"])
+                # always base embeddings
+                new_u = spmm(_join(templates, consts, "a_u"), params["user_emb"])
+                new_v = spmm(_join(templates, consts, "a_i"), params["item_emb"])
                 u = jax.nn.leaky_relu(new_u @ params[f"layer{k}"] + u)
                 v = jax.nn.leaky_relu(new_v @ params[f"layer{k}"] + v)
                 if rng is not None:
@@ -815,9 +864,9 @@ class DHCF(GraphRecommender):
                 all_v.append(v)
             return jnp.concatenate(all_u, axis=1), jnp.concatenate(all_v, axis=1)
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, consts):
             u, i, j, w = batch
-            users, items = encode(params, rng)
+            users, items = encode(params, consts, rng)
             pu, qi, qj = users[u], items[i], items[j]
             y = jnp.sum(pu * qi, axis=1) - jnp.sum(pu * qj, axis=1)
             loss = -jnp.sum(w * jnp.log(jax.nn.sigmoid(y) + 1e-12))
@@ -829,8 +878,8 @@ class DHCF(GraphRecommender):
             )
             return loss + reg
 
-        def score_params(params):
-            users, items = encode(params, None)
+        def score_params(params, consts):
+            users, items = encode(params, consts, None)
             return {"user_emb": users, "item_emb": items}
 
         return TrainSpec(
@@ -840,4 +889,5 @@ class DHCF(GraphRecommender):
             mode="adam",
             track_best=False,
             score_params_fn=jax.jit(score_params),
+            consts=consts,
         )

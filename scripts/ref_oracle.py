@@ -336,6 +336,21 @@ def setup():
         f.write(GENSIM_SHIM)
     with open(os.path.join(REFRUN, "run_ref.py"), "w") as f:
         f.write(RUN_REF_DRIVER)
+    # upstream py2 leftover: IF_BPR.py:126 `range(walkLength / len(...))`
+    # is a TypeError under Python 3 (float to range) — the model cannot run
+    # at all on the reference's own stated Python 3.7; patch the scratch
+    # copy's operator to `//` so the oracle can execute it
+    ifbpr = os.path.join(REFRUN, "model/ranking/IF_BPR.py")
+    if os.path.exists(ifbpr):
+        with open(ifbpr) as f:
+            src = f.read()
+        fixed = src.replace(
+            "for i in range(self.walkLength / len(mp[1:])):",
+            "for i in range(self.walkLength // len(mp[1:])):",
+        )
+        if fixed != src:
+            with open(ifbpr, "w") as f:
+                f.write(fixed)
     if not os.path.exists(os.path.join(PARITY_DATA, "lastfm_train.txt")):
         subprocess.check_call([sys.executable, os.path.join(REPO, "scripts/make_parity_split.py")])
     for d in (os.path.join(REFRUN, "config/fixed"), REF_RESULTS, TPU_CONFS, TPU_RESULTS, LOGS):
