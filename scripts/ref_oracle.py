@@ -336,17 +336,28 @@ def setup():
         f.write(GENSIM_SHIM)
     with open(os.path.join(REFRUN, "run_ref.py"), "w") as f:
         f.write(RUN_REF_DRIVER)
-    # upstream py2 leftover: IF_BPR.py:126 `range(walkLength / len(...))`
-    # is a TypeError under Python 3 (float to range) — the model cannot run
-    # at all on the reference's own stated Python 3.7; patch the scratch
-    # copy's operator to `//` so the oracle can execute it
+    # upstream py2 leftovers: IF_BPR.py:126,177,257,261 use true division
+    # where Python 3 needs integer division (range(float) / float list
+    # index) — the model cannot run at all on the reference's own stated
+    # Python 3.7; patch the scratch copy's operators to `//` so the oracle
+    # can execute it
     ifbpr = os.path.join(REFRUN, "model/ranking/IF_BPR.py")
     if os.path.exists(ifbpr):
         with open(ifbpr) as f:
             src = f.read()
-        fixed = src.replace(
-            "for i in range(self.walkLength / len(mp[1:])):",
-            "for i in range(self.walkLength // len(mp[1:])):",
+        fixed = (
+            src.replace(
+                "for i in range(self.walkLength / len(mp[1:])):",
+                "for i in range(self.walkLength // len(mp[1:])):",
+            )
+            .replace(
+                "fList[self.topK / 2][1]",
+                "fList[self.topK // 2][1]",
+            )
+            .replace(
+                "[:self.topK / 2]) / (self.topK / 2)",
+                "[:self.topK // 2]) / (self.topK // 2)",
+            )
         )
         if fixed != src:
             with open(ifbpr, "w") as f:
