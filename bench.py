@@ -121,8 +121,13 @@ def _cargs(spec, device=None):
     return (consts,)
 
 
-def time_epochs(model, spec, n_epochs, device=None):
-    """Time steady-state epochs of the shared training loop on a device."""
+def time_epochs(model, spec, n_epochs, device=None, block_each=False):
+    """Time steady-state epochs of the shared training loop on a device.
+
+    ``block_each`` syncs the host every epoch — the honest semantics for
+    the per-dispatch-loop metric (async dispatches through the remote
+    tunnel otherwise under-report it); the default pipelined form matches
+    the trainer's lag-1 host loop."""
     import jax
     import optax
 
@@ -148,6 +153,8 @@ def time_epochs(model, spec, n_epochs, device=None):
             rng, r1, r2 = jax.random.split(rng, 3)
             batches = spec.sampler(r1)
             params, opt_state, loss = run_epoch(params, opt_state, batches, r2, *cargs)
+            if block_each:
+                jax.block_until_ready(loss)
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / n_epochs
     return dt, params
@@ -217,7 +224,7 @@ def main():
     spec = model.build()
 
     backend = jax.default_backend()
-    dt_disp, params_final = time_epochs(model, spec, args.epochs)
+    dt_disp, params_final = time_epochs(model, spec, args.epochs, block_each=True)
     # HEADLINE = the DEFAULT config path (VERDICT r4 #10). On TPU
     # graph.dense.quant=auto resolves to the EXACT binary-factored int8
     # adjacency (Â = diag(deg_u^-1/2)·R·diag(deg_i^-1/2), binary R in int8 —

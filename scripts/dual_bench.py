@@ -68,18 +68,19 @@ def epoch_times():
         spec = model.build()
         optimizer = optax.adam(model.lrate)
         run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
+        cargs = () if spec.consts is None else (spec.consts,)
         params = spec.params
         opt_state = optimizer.init(params)
         rng = jax.random.PRNGKey(0)
         rng, r1, r2 = jax.random.split(rng, 3)
-        params, opt_state, loss = run_epoch(params, opt_state, spec.sampler(r1), r2)
+        params, opt_state, loss = run_epoch(params, opt_state, spec.sampler(r1), r2, *cargs)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
         reps = 20
         for _ in range(reps):
             rng, r1, r2 = jax.random.split(rng, 3)
             params, opt_state, loss = run_epoch(
-                params, opt_state, spec.sampler(r1), r2
+                params, opt_state, spec.sampler(r1), r2, *cargs
             )
         jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / reps

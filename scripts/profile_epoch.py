@@ -43,6 +43,7 @@ def main():
     conf, data = build_problem()
     model = get_model("LightGCN")(conf, data)
     spec = model.build()
+    cargs = () if spec.consts is None else (spec.consts,)
     n_train = len(data.training_data)
     print(f"backend={jax.default_backend()} train={n_train} batch={model.batch_size}")
 
@@ -67,7 +68,7 @@ def main():
 
     @jax.jit
     def one_step(params, opt_state, batch, r):
-        loss, grads = jax.value_and_grad(spec.loss_fn)(params, batch, r)
+        loss, grads = jax.value_and_grad(spec.loss_fn)(params, batch, r, *cargs)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -81,7 +82,7 @@ def main():
     def host_epoch():
         r1, r2 = jax.random.split(rng)
         b = spec.sampler(r1)
-        p, o, loss = run_epoch(params, ostate, b, r2)
+        p, o, loss = run_epoch(params, ostate, b, r2, *cargs)
         return loss
 
     t_epoch = timeit(host_epoch, reps=20)
@@ -96,7 +97,7 @@ def main():
         for i in range(E):
             r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
             b = spec.sampler(r1)
-            p, o, loss = run_epoch(p, o, b, r2)
+            p, o, loss = run_epoch(p, o, b, r2, *cargs)
         return loss
 
     t_chain = timeit(chained, reps=3, warmup=1) / E
@@ -113,7 +114,7 @@ def main():
             def step(c, xs):
                 p, o = c
                 batch, sr = xs
-                loss, grads = jax.value_and_grad(spec.loss_fn)(p, batch, sr)
+                loss, grads = jax.value_and_grad(spec.loss_fn)(p, batch, sr, *cargs)
                 upd, o = optimizer.update(grads, o, p)
                 return (optax.apply_updates(p, upd), o), loss
 

@@ -23,6 +23,7 @@ def main():
     spec = model.build()
     optimizer = optax.adam(model.lrate)
     run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
+    cargs = () if spec.consts is None else (spec.consts,)
     params = spec.params
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
@@ -33,7 +34,7 @@ def main():
     jax.block_until_ready(b)
     print(f"sampler compile+run: {time.perf_counter() - t0:.1f} s", flush=True)
     t0 = time.perf_counter()
-    params, opt_state, loss = run_epoch(params, opt_state, b, r2)
+    params, opt_state, loss = run_epoch(params, opt_state, b, r2, *cargs)
     jax.block_until_ready(loss)
     print(f"epoch compile+run: {time.perf_counter() - t0:.1f} s", flush=True)
 
@@ -45,7 +46,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(5):
         params, opt_state, loss = run_epoch(
-            params, opt_state, b, jax.random.fold_in(rng, i)
+            params, opt_state, b, jax.random.fold_in(rng, i), *cargs
         )
     jax.block_until_ready(loss)
     t_t = (time.perf_counter() - t0) / 5

@@ -28,11 +28,12 @@ def main():
     spec = model.build()
     optimizer = optax.adam(model.lrate)
     run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
+    cargs = () if spec.consts is None else (spec.consts,)
     params = spec.params
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
     rng, r1, r2 = jax.random.split(rng, 3)
-    params, opt_state, loss = run_epoch(params, opt_state, spec.sampler(r1), r2)
+    params, opt_state, loss = run_epoch(params, opt_state, spec.sampler(r1), r2, *cargs)
     jax.block_until_ready(loss)
 
     # async: block only at the end
@@ -40,7 +41,7 @@ def main():
     for _ in range(REPS):
         rng, r1, r2 = jax.random.split(rng, 3)
         params, opt_state, loss = run_epoch(
-            params, opt_state, spec.sampler(r1), r2
+            params, opt_state, spec.sampler(r1), r2, *cargs
         )
     jax.block_until_ready(loss)
     dt_async = (time.perf_counter() - t0) / REPS
@@ -50,7 +51,7 @@ def main():
     for _ in range(REPS):
         rng, r1, r2 = jax.random.split(rng, 3)
         params, opt_state, loss = run_epoch(
-            params, opt_state, spec.sampler(r1), r2
+            params, opt_state, spec.sampler(r1), r2, *cargs
         )
         _ = float(loss)
     dt_sync = (time.perf_counter() - t0) / REPS

@@ -88,19 +88,20 @@ def measure(n_devices, model_name="BPR", graph_backend=None):
     spec = model.build()
     optimizer = optax.sgd(0.05)
     run_epoch = make_epoch_runner(spec.loss_fn, optimizer)
+    cargs = () if spec.consts is None else (spec.consts,)
     params, _ = model._place(spec.params)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
     r1, r2 = jax.random.split(rng)
     batches = spec.sampler(r1)
     _, batches = model._place(None, batches)
-    params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+    params, opt_state, loss = run_epoch(params, opt_state, batches, r2, *cargs)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for k in range(3):
         batches = spec.sampler(jax.random.fold_in(rng, k))
         _, batches = model._place(None, batches)
-        params, opt_state, loss = run_epoch(params, opt_state, batches, r2)
+        params, opt_state, loss = run_epoch(params, opt_state, batches, r2, *cargs)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / 3
     return len(data.training_data) / dt

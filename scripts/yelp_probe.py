@@ -49,7 +49,7 @@ def probe(backend_conf, label):
 
         params = spec.params
         sp = (
-            spec.score_params_fn(params)
+            spec.score_params_fn(params, *(() if spec.consts is None else (spec.consts,)))
             if spec.score_params_fn is not None
             else params
         )
