@@ -154,8 +154,10 @@ def time_epochs(model, spec, n_epochs, device=None, block_each=False):
             batches = spec.sampler(r1)
             params, opt_state, loss = run_epoch(params, opt_state, batches, r2, *cargs)
             if block_each:
-                jax.block_until_ready(loss)
-        jax.block_until_ready(loss)
+                float(loss)
+        # float() is a TRUE host materialization — block_until_ready on the
+        # experimental axon arrays has been observed returning early
+        float(loss)
         dt = (time.perf_counter() - t0) / n_epochs
     return dt, params
 
@@ -175,7 +177,8 @@ def time_epochs_chunked(model, spec, chunk=8, reps=3):
         spec.loss_fn, optimizer, spec.sampler,
         donate=jax.default_backend() == "tpu",
     )
-    params = spec.params
+    # donation consumes the inputs — keep the caller's spec.params alive
+    params = jax.tree_util.tree_map(jnp.copy, spec.params)
     cargs = _cargs(spec)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(0)
@@ -187,13 +190,14 @@ def time_epochs_chunked(model, spec, chunk=8, reps=3):
         ])
 
     params, opt_state, losses = run_chunk(params, opt_state, pairs(rng), *cargs)
-    jax.block_until_ready(losses)
+    np.asarray(losses)
     t0 = time.perf_counter()
     for k in range(reps):
         params, opt_state, losses = run_chunk(
             params, opt_state, pairs(jax.random.fold_in(rng, 1000 + k)), *cargs
         )
-    jax.block_until_ready(losses)
+    # true host materialization (see time_epochs)
+    np.asarray(losses)
     return (time.perf_counter() - t0) / (reps * chunk)
 
 
@@ -224,7 +228,10 @@ def main():
     spec = model.build()
 
     backend = jax.default_backend()
-    dt_disp, params_final = time_epochs(model, spec, args.epochs, block_each=True)
+    # pipelined per-dispatch loop (the trainer's lag-1 host-loop shape);
+    # per-epoch host syncs through the axon tunnel measure pathologically
+    # (~20 s/epoch observed), so no blocking variant is reported
+    dt_disp, params_final = time_epochs(model, spec, args.epochs)
     # HEADLINE = the DEFAULT config path (VERDICT r4 #10). On TPU
     # graph.dense.quant=auto resolves to the EXACT binary-factored int8
     # adjacency (Â = diag(deg_u^-1/2)·R·diag(deg_i^-1/2), binary R in int8 —
@@ -252,7 +259,7 @@ def main():
         print(
             f"[bench] LightGCN lastfm epoch on {backend}: {dt_dev * 1e3:.1f} ms "
             f"({eps_dev:,.0f} examples/s, {adj_repr}; bf16 {dt_bf16 * 1e3:.1f} ms; "
-            f"per-dispatch loop {dt_disp * 1e3:.1f} ms)",
+            f"pipelined dispatch loop {dt_disp * 1e3:.1f} ms)",
             file=sys.stderr,
         )
 
@@ -476,7 +483,7 @@ def main():
                     "adjacency_quant": adj_repr,
                     # bf16 dense contrast (graph.dense.quant=off)
                     "epoch_ms_bf16": round(dt_bf16 * 1e3, 2),
-                    "epoch_ms_per_dispatch_loop": round(dt_disp * 1e3, 2),
+                    "epoch_ms_pipelined_dispatch": round(dt_disp * 1e3, 2),
                     # genuine reference baseline: its TF1 graph run on this
                     # host's CPU via the tf1-compat shim (see constant above)
                     "tf_reference_epoch_ms": TF_REFERENCE_EPOCH_MS,

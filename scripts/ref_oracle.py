@@ -115,6 +115,10 @@ OVERRIDES = {
     # by the *list* kItems instead of item_k); its shipped conf runs -tf, so
     # the oracle keeps -tf on both sides (TF1 shim on the reference side)
     "SBPR": {"_eval_suffix": " -tf"},
+    # same batched-step stable-LR ceiling as BasicMF/SocialMF above: our
+    # jitted batch update diverges at the conf's 0.05 (loss rises by epoch
+    # 30) while the reference's per-sample loop tolerates it
+    "IF_BPR": {"learnRate": "-init 0.01 -max 0.02"},
     # BPR's numpy path is a 74k-sample/epoch Python loop (hours at 100
     # epochs); the conf's batch protocol is the TF path on both sides
     "BPR": {"_eval_suffix": " -tf"},
