@@ -228,10 +228,11 @@ def main():
     spec = model.build()
 
     backend = jax.default_backend()
-    # pipelined per-dispatch loop (the trainer's lag-1 host-loop shape);
-    # per-epoch host syncs through the axon tunnel measure pathologically
-    # (~20 s/epoch observed), so no blocking variant is reported
-    dt_disp, params_final = time_epochs(model, spec, args.epochs)
+    # NOTE: no per-dispatch-loop metric is reported — host syncs through
+    # the axon tunnel measure pathologically (0.4 ms to 20 s for the same
+    # program, run to run); the chunked runner below is the trainer's
+    # actual dispatch path and times reliably
+    params_final = spec.params
     # HEADLINE = the DEFAULT config path (VERDICT r4 #10). On TPU
     # graph.dense.quant=auto resolves to the EXACT binary-factored int8
     # adjacency (Â = diag(deg_u^-1/2)·R·diag(deg_i^-1/2), binary R in int8 —
@@ -258,8 +259,8 @@ def main():
     if not args.json_only:
         print(
             f"[bench] LightGCN lastfm epoch on {backend}: {dt_dev * 1e3:.1f} ms "
-            f"({eps_dev:,.0f} examples/s, {adj_repr}; bf16 {dt_bf16 * 1e3:.1f} ms; "
-            f"pipelined dispatch loop {dt_disp * 1e3:.1f} ms)",
+            f"({eps_dev:,.0f} examples/s, {adj_repr}; "
+            f"bf16 {dt_bf16 * 1e3:.1f} ms)",
             file=sys.stderr,
         )
 
@@ -483,7 +484,6 @@ def main():
                     "adjacency_quant": adj_repr,
                     # bf16 dense contrast (graph.dense.quant=off)
                     "epoch_ms_bf16": round(dt_bf16 * 1e3, 2),
-                    "epoch_ms_pipelined_dispatch": round(dt_disp * 1e3, 2),
                     # genuine reference baseline: its TF1 graph run on this
                     # host's CPU via the tf1-compat shim (see constant above)
                     "tf_reference_epoch_ms": TF_REFERENCE_EPOCH_MS,
